@@ -1,0 +1,497 @@
+// uresnet_tpu native data plane: threaded USEF decoder + rotating batch queue.
+//
+// Capability parity (SURVEY.md §2.2): the reference relies on larcv2's C++
+// ThreadProcessor/BatchFiller — N worker threads randomly access event trees,
+// decode sparse images into dense float tensors, and assemble batches into
+// NumBatchStorage rotating buffers consumed (near) zero-copy from Python.
+// This is the TPU-native equivalent: ROOT is replaced by the flat USEF sparse
+// event format (uresnet_tpu/data/events.py defines the layout), and the
+// dense-ification semantics (crop/pad-to-pow2 around the charge centroid,
+// normalization, label map, weight-map construction) are bit-identical to the
+// numpy oracle in uresnet_tpu/data/pipeline.py — tested in
+// tests/test_cxx_decoder.py.
+//
+// Determinism: fill *tickets* are claimed atomically and consumed in ticket
+// order, so batch order is deterministic for any thread count. Worker races
+// are confined to slot hand-off (mutex + condvars); build with `make tsan`
+// / `make asan` for sanitizer runs (SURVEY.md §5 race detection).
+//
+// C ABI only (bound from Python via ctypes — no pybind11 in this image).
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <random>
+#include <stdexcept>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kMagic = 0x46455355;  // 'USEF' little-endian
+
+enum WeightMode : int32_t {
+  kWeightOnes = 0,
+  kWeightClassBalance = 1,
+  kWeightNonzero = 2,
+};
+
+struct EventRef {
+  int32_t file_idx;
+  uint64_t offset;
+};
+
+struct FileInfo {
+  std::string path;
+  uint32_t ndims;
+  std::vector<uint64_t> offsets;
+};
+
+// ---------------------------------------------------------------------------
+// USEF reading
+// ---------------------------------------------------------------------------
+
+struct Reader {
+  FILE* f = nullptr;
+  ~Reader() {
+    if (f) fclose(f);
+  }
+  bool open(const std::string& path) {
+    f = fopen(path.c_str(), "rb");
+    return f != nullptr;
+  }
+  bool read(void* dst, size_t n) { return fread(dst, 1, n, f) == n; }
+  bool seek(uint64_t off) { return fseeko(f, (off_t)off, SEEK_SET) == 0; }
+};
+
+bool read_header(const std::string& path, FileInfo* info) {
+  Reader r;
+  if (!r.open(path)) return false;
+  uint32_t magic, version, ndims;
+  uint64_t n;
+  if (!r.read(&magic, 4) || magic != kMagic) return false;
+  if (!r.read(&version, 4) || version != 1) return false;
+  if (!r.read(&ndims, 4)) return false;
+  if (!r.read(&n, 8)) return false;
+  info->path = path;
+  info->ndims = ndims;
+  info->offsets.resize(n);
+  if (n && !r.read(info->offsets.data(), 8 * n)) return false;
+  return true;
+}
+
+struct SparsePlane {
+  uint32_t plane_id;
+  std::vector<uint32_t> shape;
+  std::vector<int32_t> coords;  // npoints * ndims
+  std::vector<float> values;
+  std::vector<uint8_t> labels;
+};
+
+bool read_event(Reader& r, uint64_t offset, uint32_t ndims,
+                std::vector<SparsePlane>* planes) {
+  if (!r.seek(offset)) return false;
+  uint32_t num_planes;
+  if (!r.read(&num_planes, 4)) return false;
+  planes->clear();
+  planes->resize(num_planes);
+  for (auto& pl : *planes) {
+    if (!r.read(&pl.plane_id, 4)) return false;
+    pl.shape.resize(ndims);
+    if (!r.read(pl.shape.data(), 4 * ndims)) return false;
+    uint32_t n;
+    if (!r.read(&n, 4)) return false;
+    pl.coords.resize((size_t)n * ndims);
+    pl.values.resize(n);
+    pl.labels.resize(n);
+    if (n) {
+      if (!r.read(pl.coords.data(), 4 * pl.coords.size())) return false;
+      if (!r.read(pl.values.data(), 4 * n)) return false;
+      if (!r.read(pl.labels.data(), n)) return false;
+    }
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// densify (bit-identical to uresnet_tpu/data/pipeline.py)
+// ---------------------------------------------------------------------------
+
+struct DenseConfig {
+  int32_t image_size;
+  int32_t ndims;
+  float normalize_scale;
+  float normalize_clip;
+  int32_t weight_mode;
+  float nonzero_boost;
+  int32_t num_class;
+};
+
+void densify_plane(const SparsePlane& pl, const DenseConfig& cfg, float* data,
+                   int32_t* label, float* weight) {
+  const int nd = cfg.ndims;
+  const int64_t target = cfg.image_size;
+  int64_t npix = 1;
+  for (int d = 0; d < nd; ++d) npix *= target;
+  std::memset(data, 0, npix * sizeof(float));
+  std::memset(label, 0, npix * sizeof(int32_t));
+
+  const size_t n = pl.values.size();
+  // charge centroid (numpy: coords.mean(axis=0) in float64)
+  std::vector<double> center(nd);
+  if (n) {
+    for (size_t i = 0; i < n; ++i)
+      for (int d = 0; d < nd; ++d) center[d] += pl.coords[i * nd + d];
+    for (int d = 0; d < nd; ++d) center[d] /= (double)n;
+  } else {
+    for (int d = 0; d < nd; ++d) center[d] = pl.shape[d] / 2.0;
+  }
+  std::vector<int64_t> origin(nd);
+  for (int d = 0; d < nd; ++d) {
+    int64_t lo = (int64_t)std::floor(center[d] - target / 2.0 + 0.5);
+    int64_t hi = (int64_t)pl.shape[d] > target ? (int64_t)pl.shape[d] - target : 0;
+    if (lo < 0) lo = 0;
+    if (lo > hi) lo = hi;
+    origin[d] = lo;
+  }
+  for (size_t i = 0; i < n; ++i) {
+    int64_t flat = 0;
+    bool in = true;
+    for (int d = 0; d < nd; ++d) {
+      int64_t c = (int64_t)pl.coords[i * nd + d] - origin[d];
+      if (c < 0 || c >= target) {
+        in = false;
+        break;
+      }
+      flat = flat * target + c;
+    }
+    if (!in) continue;
+    float v = pl.values[i] * cfg.normalize_scale;
+    if (v < 0.f) v = 0.f;
+    if (v > cfg.normalize_clip) v = cfg.normalize_clip;
+    data[flat] = v;
+    label[flat] = pl.labels[i];
+  }
+
+  switch (cfg.weight_mode) {
+    case kWeightOnes:
+      for (int64_t i = 0; i < npix; ++i) weight[i] = 1.0f;
+      break;
+    case kWeightNonzero:
+      for (int64_t i = 0; i < npix; ++i)
+        weight[i] = data[i] > 0.f ? 1.0f + cfg.nonzero_boost : 1.0f;
+      break;
+    case kWeightClassBalance: {
+      std::vector<int64_t> counts(cfg.num_class, 0);
+      for (int64_t i = 0; i < npix; ++i) counts[label[i]]++;
+      std::vector<float> w(cfg.num_class, 0.f);
+      for (int c = 0; c < cfg.num_class; ++c)
+        if (counts[c])
+          w[c] = (float)((double)npix / ((double)cfg.num_class * counts[c]));
+      for (int64_t i = 0; i < npix; ++i) weight[i] = w[label[i]];
+      break;
+    }
+    default:
+      throw std::runtime_error("bad weight mode");
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// public C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct urd_config {
+  int32_t image_size;
+  int32_t ndims;
+  int32_t batch_size;  // images per batch (= events * n_planes)
+  int32_t num_class;
+  int32_t n_planes;
+  int32_t planes[8];
+  float normalize_scale;
+  float normalize_clip;
+  int32_t weight_mode;  // 0 ones | 1 class_balance | 2 nonzero
+  float nonzero_boost;
+  int32_t random_access;  // per-epoch shuffle (mt19937, own stream)
+  uint64_t seed;
+  int32_t num_batch_storage;
+};
+
+struct urd_batch {
+  const float* data;     // (batch, S^ndims) C-order
+  const int32_t* label;  // (batch, S^ndims)
+  const float* weight;   // (batch, S^ndims)
+  int64_t cursor;        // event cursor AFTER this batch (resume contract)
+  int32_t slot;          // pass to urd_release when consumed
+};
+
+struct urd_handle {
+  urd_config cfg;
+  std::vector<FileInfo> files;
+  std::vector<EventRef> index;
+  std::vector<uint32_t> order;  // permutation over index
+  int events_per_batch = 1;
+  int64_t pix_per_image = 1;
+
+  // slots
+  struct Slot {
+    std::vector<float> data;
+    std::vector<int32_t> label;
+    std::vector<float> weight;
+    int64_t cursor = 0;
+    enum State { kFree, kFilling, kReady, kConsuming } state = kFree;
+    uint64_t ticket = 0;
+    // Slot claims must be ticket-ordered: tickets t and t+nslots map to the
+    // same slot, and if the later claimant won the free slot first the
+    // consumer (which consumes in ticket order) would deadlock. `expected`
+    // is the only ticket allowed to claim this slot next.
+    uint64_t expected = 0;
+  };
+  std::vector<Slot> slots;
+
+  std::mutex mu;
+  std::condition_variable cv_ready;   // consumer waits
+  std::condition_variable cv_free;    // producers wait
+  std::atomic<uint64_t> next_fill_ticket{0};
+  uint64_t next_consume_ticket = 0;
+  int64_t start_cursor = 0;  // event cursor at ticket 0
+  bool stopping = false;
+  std::string error;
+  std::vector<std::thread> workers;
+  std::mt19937_64 shuffle_rng;
+  uint64_t epoch = 0;  // epoch of the current `order`
+
+  int64_t n_events() const { return (int64_t)index.size(); }
+
+  void reshuffle_for_epoch(uint64_t ep) {
+    // deterministic given (seed, epoch)
+    if (!cfg.random_access) return;
+    std::mt19937_64 rng(cfg.seed + 0x9e3779b97f4a7c15ull * (ep + 1));
+    for (size_t i = order.size(); i > 1; --i) {
+      size_t j = rng() % i;
+      std::swap(order[i - 1], order[j]);
+    }
+  }
+
+  void ensure_epoch(uint64_t ep) {
+    if (ep != epoch) {
+      // regenerate identity then shuffle for target epoch
+      for (size_t i = 0; i < order.size(); ++i) order[i] = (uint32_t)i;
+      reshuffle_for_epoch(ep);
+      epoch = ep;
+    }
+  }
+};
+
+static thread_local std::string g_error;
+
+const char* urd_last_error() { return g_error.c_str(); }
+
+urd_handle* urd_open(const char** paths, int n_paths, const urd_config* cfg) {
+  auto* h = new urd_handle();
+  h->cfg = *cfg;
+  for (int i = 0; i < n_paths; ++i) {
+    FileInfo info;
+    if (!read_header(paths[i], &info)) {
+      g_error = std::string("failed to read USEF header: ") + paths[i];
+      delete h;
+      return nullptr;
+    }
+    if ((int32_t)info.ndims != cfg->ndims) {
+      g_error = std::string("ndims mismatch in ") + paths[i];
+      delete h;
+      return nullptr;
+    }
+    int32_t fi = (int32_t)h->files.size();
+    for (uint64_t off : info.offsets) h->index.push_back({fi, off});
+    h->files.push_back(std::move(info));
+  }
+  if (h->index.empty()) {
+    g_error = "no events";
+    delete h;
+    return nullptr;
+  }
+  h->events_per_batch = cfg->batch_size / (cfg->n_planes > 0 ? cfg->n_planes : 1);
+  if (h->events_per_batch < 1) h->events_per_batch = 1;
+  h->pix_per_image = 1;
+  for (int d = 0; d < cfg->ndims; ++d) h->pix_per_image *= cfg->image_size;
+
+  h->order.resize(h->index.size());
+  for (size_t i = 0; i < h->order.size(); ++i) h->order[i] = (uint32_t)i;
+  h->epoch = 0;
+  h->reshuffle_for_epoch(0);
+
+  int nslots = cfg->num_batch_storage > 0 ? cfg->num_batch_storage : 2;
+  h->slots.resize(nslots);
+  int64_t per_image = h->pix_per_image;
+  for (size_t i = 0; i < h->slots.size(); ++i) {
+    auto& s = h->slots[i];
+    s.data.resize((size_t)cfg->batch_size * per_image);
+    s.label.resize((size_t)cfg->batch_size * per_image);
+    s.weight.resize((size_t)cfg->batch_size * per_image);
+    s.expected = i;  // ticket i is the first to fill slot i
+  }
+  return h;
+}
+
+void urd_seek(urd_handle* h, int64_t cursor) {
+  std::lock_guard<std::mutex> lk(h->mu);
+  h->start_cursor = cursor % (int64_t)h->index.size();
+}
+
+int64_t urd_num_events(urd_handle* h) { return h->n_events(); }
+
+static void fill_worker(urd_handle* h) {
+  // per-thread readers (no FILE* sharing)
+  std::vector<Reader> readers(h->files.size());
+  for (size_t i = 0; i < h->files.size(); ++i) {
+    if (!readers[i].open(h->files[i].path)) {
+      std::lock_guard<std::mutex> lk(h->mu);
+      h->error = "worker failed to open " + h->files[i].path;
+      h->cv_ready.notify_all();
+      return;
+    }
+  }
+  std::vector<SparsePlane> planes;
+  DenseConfig dc;
+  dc.image_size = h->cfg.image_size;
+  dc.ndims = h->cfg.ndims;
+  dc.normalize_scale = h->cfg.normalize_scale;
+  dc.normalize_clip = h->cfg.normalize_clip;
+  dc.weight_mode = h->cfg.weight_mode;
+  dc.nonzero_boost = h->cfg.nonzero_boost;
+  dc.num_class = h->cfg.num_class;
+
+  const int64_t n_ev = h->n_events();
+  const int epb = h->events_per_batch;
+
+  while (true) {
+    uint64_t ticket = h->next_fill_ticket.fetch_add(1);
+    urd_handle::Slot* slot = &h->slots[ticket % h->slots.size()];
+    {
+      std::unique_lock<std::mutex> lk(h->mu);
+      h->cv_free.wait(lk, [&] {
+        return h->stopping || (slot->state == urd_handle::Slot::kFree &&
+                               slot->expected == ticket);
+      });
+      if (h->stopping) return;
+      slot->state = urd_handle::Slot::kFilling;
+      slot->ticket = ticket;
+      slot->expected = ticket + h->slots.size();
+      h->cv_free.notify_all();  // re-evaluate other waiters' predicates
+    }
+
+    // events for this ticket: deterministic function of (ticket, start_cursor)
+    int64_t first = h->start_cursor + (int64_t)ticket * epb;
+    bool ok = true;
+    for (int e = 0; e < epb && ok; ++e) {
+      int64_t pos = first + e;
+      uint64_t ep = (uint64_t)(pos / n_ev);
+      int64_t within = pos % n_ev;
+      uint32_t ev_idx;
+      {
+        // epoch-dependent shuffle: guard `order` swaps with the mutex
+        std::lock_guard<std::mutex> lk(h->mu);
+        h->ensure_epoch(ep);
+        ev_idx = h->order[within];
+      }
+      const EventRef& ref = h->index[ev_idx];
+      if (!read_event(readers[ref.file_idx], ref.offset,
+                      h->files[ref.file_idx].ndims, &planes)) {
+        ok = false;
+        break;
+      }
+      for (int p = 0; p < h->cfg.n_planes; ++p) {
+        const SparsePlane* pl = nullptr;
+        for (const auto& cand : planes)
+          if ((int32_t)cand.plane_id == h->cfg.planes[p]) {
+            pl = &cand;
+            break;
+          }
+        if (!pl) {
+          ok = false;
+          break;
+        }
+        size_t img = (size_t)e * h->cfg.n_planes + p;
+        densify_plane(*pl, dc, slot->data.data() + img * h->pix_per_image,
+                      slot->label.data() + img * h->pix_per_image,
+                      slot->weight.data() + img * h->pix_per_image);
+      }
+    }
+
+    {
+      std::lock_guard<std::mutex> lk(h->mu);
+      if (!ok) {
+        h->error = "event decode failed";
+        h->cv_ready.notify_all();
+        return;
+      }
+      slot->cursor = (first + epb) % n_ev;
+      slot->state = urd_handle::Slot::kReady;
+      h->cv_ready.notify_all();
+    }
+  }
+}
+
+int urd_start(urd_handle* h, int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  for (int i = 0; i < num_threads; ++i)
+    h->workers.emplace_back(fill_worker, h);
+  return 0;
+}
+
+// Blocks until the next batch (in ticket order) is ready. Returns slot id
+// >= 0, or -1 on error (urd_last_error()).
+int urd_next(urd_handle* h, urd_batch* out) {
+  std::unique_lock<std::mutex> lk(h->mu);
+  uint64_t want = h->next_consume_ticket;
+  urd_handle::Slot* slot = &h->slots[want % h->slots.size()];
+  h->cv_ready.wait(lk, [&] {
+    return !h->error.empty() ||
+           (slot->state == urd_handle::Slot::kReady && slot->ticket == want);
+  });
+  if (!h->error.empty()) {
+    g_error = h->error;
+    return -1;
+  }
+  slot->state = urd_handle::Slot::kConsuming;
+  h->next_consume_ticket++;
+  out->data = slot->data.data();
+  out->label = slot->label.data();
+  out->weight = slot->weight.data();
+  out->cursor = slot->cursor;
+  out->slot = (int32_t)(want % h->slots.size());
+  return out->slot;
+}
+
+void urd_release(urd_handle* h, int slot) {
+  std::lock_guard<std::mutex> lk(h->mu);
+  h->slots[slot].state = urd_handle::Slot::kFree;
+  h->cv_free.notify_all();
+}
+
+void urd_stop(urd_handle* h) {
+  {
+    std::lock_guard<std::mutex> lk(h->mu);
+    h->stopping = true;
+    h->cv_free.notify_all();
+    h->cv_ready.notify_all();
+  }
+  for (auto& t : h->workers) t.join();
+  h->workers.clear();
+}
+
+void urd_close(urd_handle* h) {
+  if (!h->workers.empty()) urd_stop(h);
+  delete h;
+}
+
+}  // extern "C"

@@ -1,0 +1,91 @@
+"""C++ decoder vs numpy-pipeline equivalence (SURVEY.md §4 data-plane tests).
+
+The native decoder must reproduce the Python pipeline bit-for-bit on
+sequential access. Skipped when liburesnet_decoder.so hasn't been built
+(`make -C cxx/decoder`).
+"""
+
+import numpy as np
+import pytest
+
+from uresnet_tpu.config import DataConfig
+from uresnet_tpu.data import cxx_decoder
+from uresnet_tpu.data.loader import BatchLoader
+from uresnet_tpu.data.synthetic import generate_file
+
+pytestmark = pytest.mark.skipif(not cxx_decoder.available(),
+                                reason="liburesnet_decoder.so not built")
+
+
+@pytest.fixture(scope="module")
+def usef_file(tmp_path_factory):
+    path = tmp_path_factory.mktemp("usef") / "events.usef"
+    return generate_file(str(path), 12, seed=9, shape=(128, 128), planes=(0, 1))
+
+
+def _cfg(path, **kw):
+    base = dict(image_size=64, batch_size=4, planes=(0, 1),
+                input_files=(path,), synthetic=False, random_access=False,
+                weight_mode="class_balance", num_batch_storage=3)
+    base.update(kw)
+    return DataConfig(**base)
+
+
+def test_cxx_matches_python_bitexact(usef_file):
+    cfg = _cfg(usef_file)
+    py = BatchLoader(cfg, num_class=3)          # synchronous oracle
+    cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(2)
+    for _ in range(6):
+        a = py.next()
+        b = cx.next()
+        np.testing.assert_array_equal(a["data"], b["data"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["weight"], b["weight"])
+    cx.stop(); cx.close()
+
+
+@pytest.mark.parametrize("mode,boost", [("ones", 0.0), ("nonzero", 2.5)])
+def test_cxx_weight_modes(usef_file, mode, boost):
+    cfg = _cfg(usef_file, weight_mode=mode, weight_nonzero_boost=boost)
+    py = BatchLoader(cfg, num_class=3)
+    cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(1)
+    a, b = py.next(), cx.next()
+    np.testing.assert_array_equal(a["weight"], b["weight"])
+    cx.stop(); cx.close()
+
+
+def test_cxx_deterministic_across_threads(usef_file):
+    cfg = _cfg(usef_file, random_access=True, seed=7)
+    outs = []
+    for threads in (1, 3):
+        cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(threads)
+        outs.append([cx.next()["data"] for _ in range(5)])
+        cx.stop(); cx.close()
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_cxx_seek_resume(usef_file):
+    cfg = _cfg(usef_file)
+    cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(1)
+    _ = cx.next()
+    b1 = cx.next()
+    cursor_after_first = int(_["cursor"])
+    cx.stop(); cx.close()
+
+    cx2 = cxx_decoder.CxxBatchLoader(cfg, num_class=3,
+                                     start_event=cursor_after_first).start(1)
+    b2 = cx2.next()
+    np.testing.assert_array_equal(b1["data"], b2["data"])
+    cx2.stop(); cx2.close()
+
+
+def test_cxx_zero_copy_release(usef_file):
+    cfg = _cfg(usef_file)
+    cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(1)
+    b = cx.next(copy=False)
+    assert "slot" in b
+    assert b["data"].shape == (4, 64, 64, 1)
+    assert np.isfinite(b["data"]).all()
+    cx.release(int(b["slot"]))  # hand the slot back for refill
+    cx.stop(); cx.close()

@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+
+from uresnet_tpu.config import DataConfig
+from uresnet_tpu.data.events import (SparseEvent, SparsePlane, num_events,
+                                     read_events, write_events)
+from uresnet_tpu.data.loader import BatchLoader
+from uresnet_tpu.data.pipeline import (crop_or_pad_coords, densify_batch,
+                                       densify_plane, make_weights)
+from uresnet_tpu.data.synthetic import generate_event, generate_file
+
+
+def _event(rng, shape=(128, 128), planes=(0, 1)):
+    return generate_event(rng, shape=shape, planes=planes, noise_points=10)
+
+
+def test_usef_roundtrip(tmp_path, rng):
+    events = [_event(rng) for _ in range(5)]
+    path = str(tmp_path / "e.usef")
+    write_events(path, events, ndims=2)
+    assert num_events(path) == 5
+    back = read_events(path)
+    for a, b in zip(events, back):
+        assert len(a.planes) == len(b.planes)
+        for pa, pb in zip(a.planes, b.planes):
+            assert pa.plane_id == pb.plane_id
+            assert tuple(pa.shape) == tuple(pb.shape)
+            np.testing.assert_array_equal(pa.coords, pb.coords)
+            np.testing.assert_array_equal(pa.values, pb.values)
+            np.testing.assert_array_equal(pa.labels, pb.labels)
+
+
+def test_usef_random_access(tmp_path, rng):
+    events = [_event(rng) for _ in range(6)]
+    path = str(tmp_path / "e.usef")
+    write_events(path, events, ndims=2)
+    sel = read_events(path, [4, 1])
+    np.testing.assert_array_equal(sel[0].planes[0].values,
+                                  events[4].planes[0].values)
+    np.testing.assert_array_equal(sel[1].planes[0].values,
+                                  events[1].planes[0].values)
+
+
+def test_crop_or_pad_centers_charge():
+    coords = np.array([[100, 100], [101, 102]], np.int32)
+    shifted, mask = crop_or_pad_coords(coords, (512, 512), 64)
+    assert mask.all()
+    assert (shifted >= 0).all() and (shifted < 64).all()
+
+
+def test_crop_window_clamps_to_image():
+    coords = np.array([[0, 0], [1, 1]], np.int32)
+    shifted, mask = crop_or_pad_coords(coords, (512, 512), 64)
+    assert mask.all()
+    np.testing.assert_array_equal(shifted, coords)  # origin clamped to 0
+
+
+def test_weight_modes():
+    labels = np.zeros((8, 8), np.int32)
+    labels[0, :4] = 1
+    labels[1, :2] = 2
+    data = (labels > 0).astype(np.float32)
+    w1 = make_weights(labels, data, mode="ones", num_class=3)
+    assert (w1 == 1).all()
+    w2 = make_weights(labels, data, mode="nonzero", num_class=3,
+                      nonzero_boost=3.0)
+    assert w2[0, 0] == 4.0 and w2[7, 7] == 1.0
+    w3 = make_weights(labels, data, mode="class_balance", num_class=3)
+    # rarer class -> larger weight; weights within a class are constant
+    assert w3[1, 0] > w3[0, 0] > w3[7, 7]
+    # mean-normalized-ish: total weight = total pixels (each class contributes
+    # total/num_class)
+    assert abs(w3.sum() - labels.size) < 1e-3
+
+
+def test_densify_shapes_and_normalize(rng):
+    ev = _event(rng, shape=(128, 128), planes=(0,))
+    d, l, w = densify_plane(ev.planes[0], image_size=64, normalize_scale=0.01,
+                            normalize_clip=0.5, weight_mode="ones", num_class=3)
+    assert d.shape == (64, 64) and l.shape == (64, 64) and w.shape == (64, 64)
+    assert d.max() <= 0.5
+    assert set(np.unique(l)).issubset({0, 1, 2})
+    # labels nonzero only where charge (plus background-label noise pixels)
+    assert (d[l > 0] > 0).all()
+
+
+def test_densify_batch_multiplane(rng):
+    events = [_event(rng, planes=(0, 1)) for _ in range(2)]
+    b = densify_batch(events, image_size=64, planes=(0, 1))
+    assert b["data"].shape == (4, 64, 64, 1)
+    assert b["label"].shape == (4, 64, 64)
+    assert b["weight"].shape == (4, 64, 64)
+
+
+def test_loader_sync_and_threaded(tmp_path, rng):
+    path = generate_file(str(tmp_path / "s.usef"), 8, seed=1,
+                         shape=(128, 128), planes=(0,))
+    cfg = DataConfig(image_size=64, batch_size=4, planes=(0,),
+                     input_files=(path,), synthetic=False, num_threads=2,
+                     seed=3)
+    loader = BatchLoader(cfg, num_class=3)
+    b = loader.next()  # sync path
+    assert b["data"].shape == (4, 64, 64, 1)
+    loader.start(2)
+    b2 = loader.next()
+    assert b2["data"].shape == (4, 64, 64, 1)
+    loader.stop()
+
+
+def test_loader_cursor_seek_deterministic(tmp_path):
+    path = generate_file(str(tmp_path / "s.usef"), 8, seed=1,
+                         shape=(128, 128), planes=(0,))
+    cfg = DataConfig(image_size=64, batch_size=2, planes=(0,),
+                     input_files=(path,), synthetic=False, random_access=False)
+    a = BatchLoader(cfg, num_class=3)
+    _ = a.next()
+    b1 = a.next()
+    b = BatchLoader(cfg, num_class=3)
+    b.seek(2)
+    b2 = b.next()
+    np.testing.assert_array_equal(b1["data"], b2["data"])
+
+
+def test_synthetic_has_all_classes(rng):
+    ev = _event(rng, shape=(256, 256), planes=(0,))
+    labs = ev.planes[0].labels
+    assert {1, 2}.issubset(set(np.unique(labs)))

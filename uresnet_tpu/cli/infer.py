@@ -1,0 +1,50 @@
+"""Inference / analysis entry point.
+
+Capability parity (SURVEY.md §2.1 "Entry: inference/ana", reference
+`bin/inference.py` [K:med]): load a checkpoint, stream events sequentially,
+write per-pixel softmax score maps to the output file (sparse export — see
+`engine/evaluator.py`), and report nonzero-pixel accuracy.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from uresnet_tpu.config import Config, apply_overrides, load_config
+from uresnet_tpu.engine.evaluator import evaluate_dataset, run_inference
+from uresnet_tpu.engine.trainer import Trainer
+from uresnet_tpu.parallel.mesh import make_mesh
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="U-ResNet batched inference")
+    p.add_argument("config", nargs="?", help="config file")
+    p.add_argument("overrides", nargs="*", help="KEY=value overrides")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint path (default: latest in checkpoint_dir)")
+    p.add_argument("--input", default=None, help="USEF input file")
+    p.add_argument("--output", default="scores.npz", help="score export path")
+    p.add_argument("--metrics-only", action="store_true",
+                   help="evaluate metrics on the configured dataset instead")
+    args = p.parse_args(argv)
+
+    if args.config:
+        cfg = load_config(args.config, args.overrides)
+    else:
+        cfg = apply_overrides(Config(), args.overrides)
+
+    trainer = Trainer(cfg, mesh=make_mesh())
+    ts, step, _ = trainer.restore(args.checkpoint)
+    print(f"restored step {step}", flush=True)
+
+    if args.metrics_only or not args.input:
+        m = evaluate_dataset(trainer, ts)
+        print("metrics:", {k: round(v, 5) for k, v in m.items()}, flush=True)
+    else:
+        m = run_inference(trainer, ts, args.input, args.output)
+        print(f"wrote {args.output}:", m, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

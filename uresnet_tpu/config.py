@@ -1,0 +1,261 @@
+"""Typed configuration for uresnet_tpu.
+
+Capability parity (SURVEY.md §2.1 "Config system", reference `lib/config.py`
+[K:med]): the reference parses uppercase `KEY value` text files plus argv
+overrides into a flat flag object (NUM_CLASS, BASE_NUM_FILTERS, BATCH_SIZE,
+ITERATIONS, LEARNING_RATE, CHECKPOINT_DIR, ...). We keep a typed, nested
+dataclass config as the primary representation and provide:
+
+  * ``load_config(path)``   — YAML (if available) or JSON or reference-style
+                              KEY-value files, auto-detected.
+  * ``parse_kv_text(text)`` — the reference-compat parser, so reference-era
+                              configs drive this framework unchanged.
+  * dotted-path overrides   — ``apply_overrides(cfg, ["optim.lr=1e-3"])`` and
+                              uppercase reference keys (``LEARNING_RATE=1e-3``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Dataclasses
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ModelConfig:
+    """Architecture knobs mirroring the reference's (depth, base filters, 2D/3D
+    mode) surface (BASELINE.json north_star; SURVEY.md §3.3)."""
+
+    dims: int = 2                    # 2 or 3 (2D wire-plane / 3D voxel volume)
+    num_class: int = 3               # track / shower / background
+    in_channels: int = 1             # charge image
+    base_filters: int = 16           # filters at full resolution; x2 per level
+    depth: int = 5                   # number of downsample levels
+    blocks_per_level: int = 2        # residual blocks per level (SURVEY §3.3)
+    bn_momentum: float = 0.99        # TF1 tf.layers.batch_normalization default
+    bn_eps: float = 1e-3             # TF1 default
+    compute_dtype: str = "bfloat16"  # MXU-friendly; params stay float32
+    param_dtype: str = "float32"
+    final_kernel: int = 3            # kernel of the logits conv
+    remat: bool = False              # jax.checkpoint per level (3D memory)
+    kernel_backend: str = "auto"     # "xla" | "pallas" | "auto" (bench-gated)
+
+
+@dataclass
+class DataConfig:
+    """Data-plane knobs (SURVEY.md §2.1 "larcv IO configs", §2.2 decoder)."""
+
+    image_size: int = 512            # square crop/pad target (power of two)
+    batch_size: int = 16
+    planes: Tuple[int, ...] = (2,)   # wire-plane channels to read (larcv 'Channels')
+    normalize_scale: float = 1.0 / 100.0  # pixel value scale (ADC -> O(1))
+    normalize_clip: float = 10.0     # clip normalized values
+    weight_mode: str = "class_balance"  # 'ones'|'class_balance'|'nonzero'
+    weight_nonzero_boost: float = 1.0
+    num_threads: int = 4             # decoder worker threads
+    num_batch_storage: int = 4       # rotating host-side batch buffers
+    random_access: bool = True       # shuffle (train) vs sequential (ana)
+    input_files: Tuple[str, ...] = ()
+    synthetic: bool = True           # synthetic LArTPC-like generator fallback
+    synthetic_events: int = 512
+    seed: int = 0
+    prefetch_depth: int = 2          # device-side double buffering
+    augment: bool = False            # device-side random flips/rot90 (train)
+    backend: str = "auto"            # host decoder: 'python'|'cxx'|'auto'
+
+
+@dataclass
+class OptimConfig:
+    optimizer: str = "adam"
+    lr: float = 1e-3
+    schedule: str = "constant"       # 'constant'|'cosine'|'exponential'
+    warmup_steps: int = 0
+    decay_steps: int = 0             # for cosine/exponential
+    decay_rate: float = 0.1          # for exponential
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 0.0      # 0 = off
+
+
+@dataclass
+class TrainConfig:
+    iterations: int = 1000
+    summary_iter: int = 20
+    checkpoint_iter: int = 200
+    val_iter: int = 100
+    checkpoint_dir: str = "ckpt"
+    log_dir: str = "log"
+    load_file: str = ""              # checkpoint path to restore
+    seed: int = 123
+    loss_normalize: str = "mean"     # 'mean' (reference: mean(w*xent)) | 'weight_sum'
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh axes (SURVEY.md §2.3/§2.4). data = DP allreduce over ICI;
+    spatial = halo-exchange spatial partitioning (conv-net CP analog);
+    model = channel-sharded TP hook."""
+
+    data_axis: int = 0               # 0 => use all devices on the data axis
+    spatial_axis: int = 1
+    model_axis: int = 1
+    cross_replica_bn: bool = True    # global-batch BN stats under pjit
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+# ---------------------------------------------------------------------------
+# Reference-style KEY-value compat layer
+# ---------------------------------------------------------------------------
+
+# Uppercase reference flag -> dotted path in Config. Anchors: SURVEY.md §2.1
+# config row (lib/config.py flags [K:med]).
+_REFERENCE_KEYS: Dict[str, str] = {
+    "NUM_CLASS": "model.num_class",
+    "BASE_NUM_FILTERS": "model.base_filters",
+    "URESNET_FILTERS": "model.base_filters",
+    "URESNET_NUM_STRIDES": "model.depth",
+    "DEPTH": "model.depth",
+    "BATCH_SIZE": "data.batch_size",
+    "IMAGE_SIZE": "data.image_size",
+    "ITERATIONS": "train.iterations",
+    "TRAIN_ITERATIONS": "train.iterations",
+    "LEARNING_RATE": "optim.lr",
+    "CHECKPOINT_DIR": "train.checkpoint_dir",
+    "LOG_DIR": "train.log_dir",
+    "LOAD_FILE": "train.load_file",
+    "SUMMARY_ITERATION": "train.summary_iter",
+    "CHECKPOINT_ITERATION": "train.checkpoint_iter",
+    "VAL_ITERATION": "train.val_iter",
+    "SEED": "train.seed",
+    "NUM_THREADS": "data.num_threads",
+    "NUM_BATCH_STORAGE": "data.num_batch_storage",
+    "RANDOM_ACCESS": "data.random_access",
+    "INPUT_FILES": "data.input_files",
+    "PLANES": "data.planes",
+    "CHANNELS": "data.planes",
+    "MODEL_DIMS": "model.dims",
+    "COMPUTE_DTYPE": "model.compute_dtype",
+    "KERNEL_BACKEND": "model.kernel_backend",
+    "WEIGHT_MODE": "data.weight_mode",
+}
+
+
+def _coerce(value: str) -> Any:
+    v = value.strip()
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    if "," in v:
+        return tuple(_coerce(p) for p in v.split(",") if p.strip())
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v.strip("'\"")
+
+
+def _set_dotted(obj: Any, dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    name = parts[-1]
+    if not hasattr(obj, name):
+        raise KeyError(f"unknown config field: {dotted}")
+    current = getattr(obj, name)
+    if isinstance(current, tuple) and not isinstance(value, tuple):
+        value = (value,)
+    if isinstance(current, bool):
+        value = bool(value) if not isinstance(value, str) else value.lower() == "true"
+    elif isinstance(current, int) and not isinstance(value, bool) and isinstance(value, float):
+        value = int(value)
+    elif isinstance(current, float) and isinstance(value, int):
+        value = float(value)
+    setattr(obj, name, value)
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply ``a.b=c`` (dotted) or ``UPPER_KEY=value`` (reference style)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be KEY=value, got {ov!r}")
+        key, _, raw = ov.partition("=")
+        key = key.strip()
+        dotted = _REFERENCE_KEYS.get(key.upper()) if key.isupper() else key
+        if dotted is None:
+            dotted = key
+        _set_dotted(cfg, dotted, _coerce(raw))
+    return cfg
+
+
+def parse_kv_text(text: str, cfg: Optional[Config] = None) -> Config:
+    """Parse a reference-style ``KEY value`` text config (SURVEY.md §2.1)."""
+    cfg = cfg or Config()
+    for lineno, line in enumerate(text.splitlines(), 1):
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if "=" in line and " " not in line.split("=", 1)[0]:
+            key, _, raw = line.partition("=")
+        else:
+            parts = line.split(None, 1)
+            if len(parts) != 2:
+                raise ValueError(f"line {lineno}: expected 'KEY value', got {line!r}")
+            key, raw = parts
+        dotted = _REFERENCE_KEYS.get(key.upper())
+        if dotted is None and "." in key:
+            dotted = key
+        if dotted is None:
+            raise KeyError(f"line {lineno}: unknown reference key {key!r}")
+        _set_dotted(cfg, dotted, _coerce(raw))
+    return cfg
+
+
+def _from_nested_dict(d: Dict[str, Any]) -> Config:
+    cfg = Config()
+    for section, sub in d.items():
+        if not hasattr(cfg, section):
+            raise KeyError(f"unknown config section: {section}")
+        if not isinstance(sub, dict):
+            raise ValueError(f"section {section} must be a mapping")
+        for k, v in sub.items():
+            if isinstance(v, list):
+                v = tuple(v)
+            _set_dotted(cfg, f"{section}.{k}", v)
+    return cfg
+
+
+def load_config(path: str, overrides: Sequence[str] = ()) -> Config:
+    """Load YAML / JSON / reference KEY-value config, then apply overrides."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml  # baked into the image
+
+        cfg = _from_nested_dict(yaml.safe_load(text) or {})
+    elif path.endswith(".json"):
+        cfg = _from_nested_dict(json.loads(text))
+    else:
+        cfg = parse_kv_text(text)
+    return apply_overrides(cfg, overrides)

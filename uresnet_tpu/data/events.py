@@ -1,0 +1,111 @@
+"""USEF — U-ResNet Sparse Event Format (ROOT-free larcv replacement).
+
+Capability parity (SURVEY.md §2.2): the reference stores LArTPC events as
+larcv `Image2D`/`Voxel3D` sparse products inside ROOT TTrees. ROOT support is
+an explicit non-goal (SURVEY.md §7); instead we define a flat binary format
+carrying the same physics content — per-event sparse (coords, charge, label)
+per wire plane — readable by both numpy (this module) and the C++ decoder
+(`cxx/decoder/decoder.cpp`), with an O(1) per-event index table for random
+access (the TTree-random-access equivalent, SURVEY.md §3.4).
+
+Layout (little-endian):
+    header:  magic 'USEF' | u32 version=1 | u32 ndims (2|3) | u64 num_events
+    index:   u64 byte offset of each event (num_events entries)
+    event:   u32 num_planes
+             per plane: u32 plane_id | u32 shape[ndims] | u32 npoints
+                        i32 coords[npoints*ndims] | f32 values[npoints]
+                        u8 labels[npoints]
+
+Labels are sparse at the charge coordinates; pixels with no charge are
+background (class 0) by construction — matching LArTPC semantics where
+~99% of the image is empty (SURVEY.md §2.1 "Loss & metrics").
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+MAGIC = b"USEF"
+VERSION = 1
+
+
+@dataclass
+class SparsePlane:
+    plane_id: int
+    shape: Tuple[int, ...]            # full detector image shape (rows, cols[, depth])
+    coords: np.ndarray                # (npoints, ndims) int32
+    values: np.ndarray                # (npoints,) float32
+    labels: np.ndarray                # (npoints,) uint8
+
+
+@dataclass
+class SparseEvent:
+    planes: List[SparsePlane]
+
+    @property
+    def ndims(self) -> int:
+        return self.planes[0].coords.shape[1] if self.planes else 2
+
+
+def write_events(path: str, events: Sequence[SparseEvent], ndims: int = 2) -> None:
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<IIQ", VERSION, ndims, len(events)))
+        index_pos = f.tell()
+        f.write(b"\x00" * (8 * len(events)))  # placeholder index
+        offsets = []
+        for ev in events:
+            offsets.append(f.tell())
+            f.write(struct.pack("<I", len(ev.planes)))
+            for pl in ev.planes:
+                assert pl.coords.shape[1] == ndims
+                f.write(struct.pack("<I", pl.plane_id))
+                f.write(struct.pack(f"<{ndims}I", *pl.shape))
+                n = len(pl.values)
+                f.write(struct.pack("<I", n))
+                f.write(np.ascontiguousarray(pl.coords, np.int32).tobytes())
+                f.write(np.ascontiguousarray(pl.values, np.float32).tobytes())
+                f.write(np.ascontiguousarray(pl.labels, np.uint8).tobytes())
+        f.seek(index_pos)
+        f.write(np.asarray(offsets, np.uint64).tobytes())
+
+
+def read_header(path: str) -> Tuple[int, int, np.ndarray]:
+    """Returns (version, ndims, offsets)."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not a USEF file")
+        version, ndims, n = struct.unpack("<IIQ", f.read(16))
+        offsets = np.frombuffer(f.read(8 * n), np.uint64)
+    return version, ndims, offsets
+
+
+def read_events(path: str, indices: Sequence[int] | None = None) -> List[SparseEvent]:
+    version, ndims, offsets = read_header(path)
+    if indices is None:
+        indices = range(len(offsets))
+    events = []
+    with open(path, "rb") as f:
+        for i in indices:
+            f.seek(int(offsets[i]))
+            (num_planes,) = struct.unpack("<I", f.read(4))
+            planes = []
+            for _ in range(num_planes):
+                (plane_id,) = struct.unpack("<I", f.read(4))
+                shape = struct.unpack(f"<{ndims}I", f.read(4 * ndims))
+                (n,) = struct.unpack("<I", f.read(4))
+                coords = np.frombuffer(f.read(4 * n * ndims), np.int32).reshape(n, ndims)
+                values = np.frombuffer(f.read(4 * n), np.float32)
+                labels = np.frombuffer(f.read(n), np.uint8)
+                planes.append(SparsePlane(plane_id, shape, coords.copy(),
+                                          values.copy(), labels.copy()))
+            events.append(SparseEvent(planes))
+    return events
+
+
+def num_events(path: str) -> int:
+    return len(read_header(path)[2])

@@ -1,0 +1,137 @@
+"""Dense-ification pipeline: sparse events -> model-ready batches.
+
+Capability parity (SURVEY.md §2.2 larcv BatchFiller + BASELINE north_star):
+"image2d decode, crop/pad to power-of-two, pixel-value normalization,
+label/weight-map construction". This numpy implementation defines the
+semantics; the C++ decoder (`cxx/decoder/`) implements the identical
+transform for the threaded production path and is tested for equivalence
+against this module (SURVEY.md §4 data-plane tests).
+
+Weight-map modes (configurable — the reference's exact scheme is [K:low],
+SURVEY.md §7 hard part #3):
+  * 'ones'          — uniform weights (plain CE);
+  * 'class_balance' — per-pixel weight inversely proportional to the pixel
+                      count of its class in the image, normalized to mean 1;
+  * 'nonzero'       — background pixels get weight 1, charge pixels get
+                      1 + boost.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+from uresnet_tpu.data.events import SparseEvent, SparsePlane
+
+
+def crop_or_pad_coords(
+    coords: np.ndarray, src_shape: Sequence[int], target: int,
+    center: Sequence[float] | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shift coords so a `target`^ndims window (centered on the charge
+    centroid, clamped to the image) maps to [0, target); returns
+    (shifted_coords, in_window_mask)."""
+    ndims = coords.shape[1]
+    if center is None:
+        center = coords.mean(axis=0) if len(coords) else np.array(
+            [s / 2 for s in src_shape])
+    origin = np.empty(ndims, np.int64)
+    for d in range(ndims):
+        # floor(x + 0.5): deterministic half-up rounding, reproduced exactly
+        # by the C++ decoder (std::floor), unlike Python's banker's round().
+        lo = int(np.floor(center[d] - target / 2 + 0.5))
+        lo = max(0, min(lo, max(src_shape[d] - target, 0)))
+        origin[d] = lo
+    shifted = coords.astype(np.int64) - origin[None, :]
+    mask = np.all((shifted >= 0) & (shifted < target), axis=1)
+    return shifted, mask
+
+
+def make_weights(
+    labels_img: np.ndarray,   # (*S,) int
+    data_img: np.ndarray,     # (*S,) float
+    *,
+    mode: str,
+    num_class: int,
+    nonzero_boost: float = 1.0,
+) -> np.ndarray:
+    if mode == "ones":
+        return np.ones_like(data_img, np.float32)
+    if mode == "nonzero":
+        w = np.ones_like(data_img, np.float32)
+        w[data_img > 0] += nonzero_boost
+        return w
+    if mode == "class_balance":
+        total = labels_img.size
+        w = np.empty(labels_img.shape, np.float32)
+        counts = np.bincount(labels_img.reshape(-1), minlength=num_class)
+        # per-class weight = total / (num_class * count_c); mean over pixels ≈ 1
+        for c in range(num_class):
+            if counts[c]:
+                w[labels_img == c] = total / (num_class * counts[c])
+        return w
+    raise ValueError(f"unknown weight mode {mode!r}")
+
+
+def densify_plane(
+    plane: SparsePlane,
+    *,
+    image_size: int,
+    normalize_scale: float,
+    normalize_clip: float,
+    weight_mode: str,
+    num_class: int,
+    nonzero_boost: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (data (*S,), labels (*S,), weights (*S,)) at image_size^ndims."""
+    ndims = plane.coords.shape[1]
+    out_shape = (image_size,) * ndims
+    data = np.zeros(out_shape, np.float32)
+    labels = np.zeros(out_shape, np.int32)
+    coords, mask = crop_or_pad_coords(plane.coords, plane.shape, image_size)
+    coords = coords[mask]
+    vals = plane.values[mask]
+    labs = plane.labels[mask]
+    idx = tuple(coords[:, d] for d in range(ndims))
+    data[idx] = np.clip(vals * normalize_scale, 0.0, normalize_clip)
+    labels[idx] = labs
+    weights = make_weights(labels, data, mode=weight_mode,
+                           num_class=num_class, nonzero_boost=nonzero_boost)
+    return data, labels, weights
+
+
+def densify_batch(
+    events: Sequence[SparseEvent],
+    *,
+    image_size: int,
+    planes: Sequence[int],
+    normalize_scale: float = 0.01,
+    normalize_clip: float = 10.0,
+    weight_mode: str = "class_balance",
+    num_class: int = 3,
+    nonzero_boost: float = 1.0,
+) -> dict:
+    """Batch of events -> {'data': (B,*S,1), 'label': (B,*S), 'weight': (B,*S)}.
+
+    Multi-plane events contribute one batch row per selected plane
+    (reference semantics: larcv `Channels` selects planes, each treated as
+    an independent image — SURVEY.md §2.1 larcv IO configs).
+    """
+    datas, labels, weights = [], [], []
+    for ev in events:
+        by_id = {p.plane_id: p for p in ev.planes}
+        for pid in planes:
+            pl = by_id.get(pid)
+            if pl is None:
+                raise KeyError(f"event missing plane {pid}")
+            d, l, w = densify_plane(
+                pl, image_size=image_size, normalize_scale=normalize_scale,
+                normalize_clip=normalize_clip, weight_mode=weight_mode,
+                num_class=num_class, nonzero_boost=nonzero_boost)
+            datas.append(d); labels.append(l); weights.append(w)
+    return {
+        "data": np.stack(datas)[..., None],
+        "label": np.stack(labels),
+        "weight": np.stack(weights),
+    }

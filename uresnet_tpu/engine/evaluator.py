@@ -1,0 +1,116 @@
+"""Inference / analysis path.
+
+Capability parity (SURVEY.md §3.2 `ana_step`): stream events sequentially
+(RandomAccess=false), run the batched multi-plane forward pass, and write
+per-pixel softmax score maps back out per event — the reference does this
+via larcv output Image2D per class; here scores are exported sparsely (at
+charge pixels, where the physics lives) plus the predicted label map, into
+a compressed .npz per input file. Also provides whole-dataset metric
+evaluation (mIoU / accuracies) for the BASELINE parity gate.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from uresnet_tpu.config import Config
+from uresnet_tpu.data import events as ev
+from uresnet_tpu.data.loader import BatchLoader
+from uresnet_tpu.data.pipeline import densify_batch
+from uresnet_tpu.engine.trainer import Trainer, TrainState
+
+
+def run_inference(
+    trainer: Trainer,
+    ts: TrainState,
+    input_file: str,
+    output_file: str,
+    *,
+    batch_events: Optional[int] = None,
+) -> Dict[str, float]:
+    """Sequential pass over `input_file`; writes sparse score export.
+
+    Output npz arrays (concatenated over all events):
+      event_id (N,), plane_id (N,), coords (N, ndims),
+      scores (N, num_class), pred (N,), label (N,)
+    plus per-event metrics aggregates.
+    """
+    cfg = trainer.cfg
+    n = ev.num_events(input_file)
+    planes = tuple(cfg.data.planes)
+    bs_events = batch_events or max(1, cfg.data.batch_size // len(planes))
+
+    out_event, out_plane, out_coords = [], [], []
+    out_scores, out_pred, out_label = [], [], []
+    n_correct_nonzero = 0
+    n_nonzero = 0
+
+    for start in range(0, n, bs_events):
+        idxs = list(range(start, min(start + bs_events, n)))
+        events = ev.read_events(input_file, idxs)
+        # pad the trailing batch so the jitted forward sees a static shape
+        pad = bs_events - len(events)
+        batch = densify_batch(
+            events + [events[-1]] * pad,
+            image_size=cfg.data.image_size,
+            planes=planes,
+            normalize_scale=cfg.data.normalize_scale,
+            normalize_clip=cfg.data.normalize_clip,
+            weight_mode="ones",
+            num_class=cfg.model.num_class,
+        )
+        scores = np.asarray(trainer.forward(ts, batch["data"]))
+        pred = scores.argmax(-1)
+        rows_per_event = len(planes)
+        for bi, eidx in enumerate(idxs):
+            for pi, pid in enumerate(planes):
+                row = bi * rows_per_event + pi
+                data_img = batch["data"][row, ..., 0]
+                label_img = batch["label"][row]
+                mask = data_img > 0
+                coords = np.argwhere(mask)
+                out_event.append(np.full(len(coords), eidx, np.int32))
+                out_plane.append(np.full(len(coords), pid, np.int32))
+                out_coords.append(coords.astype(np.int32))
+                out_scores.append(scores[row][mask])
+                out_pred.append(pred[row][mask].astype(np.int32))
+                out_label.append(label_img[mask].astype(np.int32))
+                n_correct_nonzero += int((pred[row][mask] == label_img[mask]).sum())
+                n_nonzero += int(mask.sum())
+
+    result = {
+        "event_id": np.concatenate(out_event) if out_event else np.zeros(0, np.int32),
+        "plane_id": np.concatenate(out_plane) if out_plane else np.zeros(0, np.int32),
+        "coords": np.concatenate(out_coords) if out_coords else np.zeros((0, 2), np.int32),
+        "scores": np.concatenate(out_scores) if out_scores else np.zeros((0, cfg.model.num_class), np.float32),
+        "pred": np.concatenate(out_pred) if out_pred else np.zeros(0, np.int32),
+        "label": np.concatenate(out_label) if out_label else np.zeros(0, np.int32),
+    }
+    tmp = output_file + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **result)
+    os.replace(tmp, output_file)
+    acc_nz = n_correct_nonzero / max(n_nonzero, 1)
+    return {"acc_nonzero": acc_nz, "n_events": n, "n_pixels": n_nonzero}
+
+
+def evaluate_dataset(
+    trainer: Trainer,
+    ts: TrainState,
+    *,
+    num_batches: int = 16,
+) -> Dict[str, float]:
+    """Held-out metric evaluation (mIoU parity gate, BASELINE.md)."""
+    loader = trainer.make_loader(train=False)
+    agg: Dict[str, float] = {}
+    for _ in range(num_batches):
+        batch = loader.next()
+        batch.pop("cursor", None)
+        m = jax.device_get(trainer.eval_step(ts, trainer._device_batch(batch)))
+        for k, v in m.items():
+            agg[k] = agg.get(k, 0.0) + float(v) / num_batches
+    return agg

@@ -1,0 +1,94 @@
+"""Optimizer: our own Adam + LR schedules (no optax dependency in the hot path).
+
+Capability parity (SURVEY.md §2.1 "Optimizer wiring"): the reference uses
+Adam with LR from config (BN update-ops handled separately; here BN state is
+returned functionally by the model, so no control-dependency machinery
+exists). Implemented as a pure (init, update) pair over arbitrary pytrees so
+it pjit-shards with the params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from uresnet_tpu.config import OptimConfig
+
+
+class AdamState(NamedTuple):
+    step: jax.Array        # scalar int32
+    mu: Any                # first-moment pytree
+    nu: Any                # second-moment pytree
+
+
+def make_schedule(cfg: OptimConfig) -> Callable[[jax.Array], jax.Array]:
+    base = cfg.lr
+
+    def sched(step: jax.Array) -> jax.Array:
+        s = step.astype(jnp.float32)
+        lr = jnp.asarray(base, jnp.float32)
+        if cfg.schedule == "cosine":
+            total = max(cfg.decay_steps, 1)
+            frac = jnp.clip((s - cfg.warmup_steps) / total, 0.0, 1.0)
+            lr = lr * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        elif cfg.schedule == "exponential":
+            total = max(cfg.decay_steps, 1)
+            lr = lr * cfg.decay_rate ** ((s - cfg.warmup_steps) / total)
+        elif cfg.schedule != "constant":
+            raise ValueError(f"unknown schedule {cfg.schedule!r}")
+        if cfg.warmup_steps > 0:
+            warm = jnp.clip((s + 1.0) / cfg.warmup_steps, 0.0, 1.0)
+            lr = lr * warm
+        return lr
+
+    return sched
+
+
+def adam_init(params: Any) -> AdamState:
+    zeros = lambda p: jnp.zeros_like(p)
+    return AdamState(
+        step=jnp.zeros((), jnp.int32),
+        mu=jax.tree.map(zeros, params),
+        nu=jax.tree.map(zeros, params),
+    )
+
+
+def _global_norm(tree: Any) -> jax.Array:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves))
+
+
+def adam_update(
+    grads: Any,
+    opt_state: AdamState,
+    params: Any,
+    cfg: OptimConfig,
+) -> Tuple[Any, AdamState]:
+    """Returns (new_params, new_state). Pure; safe under jit/pjit."""
+    step = opt_state.step + 1
+    sched = make_schedule(cfg)
+    lr = sched(step)
+
+    if cfg.grad_clip_norm > 0:
+        gnorm = _global_norm(grads)
+        scale = jnp.minimum(1.0, cfg.grad_clip_norm / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+
+    b1, b2, eps = cfg.b1, cfg.b2, cfg.eps
+    mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, opt_state.mu, grads)
+    nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * jnp.square(g),
+                      opt_state.nu, grads)
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** t
+    bc2 = 1.0 - b2 ** t
+
+    def upd(p, m, v):
+        u = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+        if cfg.weight_decay > 0:
+            u = u + cfg.weight_decay * p
+        return (p - lr * u).astype(p.dtype)
+
+    new_params = jax.tree.map(upd, params, mu, nu)
+    return new_params, AdamState(step=step, mu=mu, nu=nu)

@@ -1,0 +1,232 @@
+"""Train/eval engine: jit-compiled step functions over a named mesh.
+
+Capability parity (SURVEY.md §2.1 "Orchestrator", reference
+`lib/ssnet_trainval.py` [K:med]): owns the full lifecycle the reference's
+`ssnet_trainval` owned — data threads, model build, loss, optimizer,
+checkpointing, summaries, periodic validation — redesigned the JAX way
+(SURVEY.md §3.5): no session, no placeholders; `Trainer.init()` constructs
+the mesh, seeds params, spins up the decoder and opens the checkpoint dir;
+`train_step` is one donated, pjit-compiled pure function.
+
+Data parallelism (SURVEY.md §2.3/§2.4): the batch is a global array sharded
+over the 'data' mesh axis; params/opt state are replicated. Loss/metric
+means and BN batch stats reduce over the sharded batch dim, so XLA inserts
+the ICI allreduce — the DP step is numerically the single-device step on the
+concatenated batch.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uresnet_tpu.config import Config
+from uresnet_tpu.data.loader import BatchLoader, device_prefetch, make_batch_loader
+from uresnet_tpu.engine import checkpoint as ckpt
+from uresnet_tpu.engine.augment import augment_batch
+from uresnet_tpu.engine.logging import MetricsLogger
+from uresnet_tpu.engine.losses import weighted_softmax_xent
+from uresnet_tpu.engine.metrics import segmentation_metrics
+from uresnet_tpu.engine.optim import AdamState, adam_init, adam_update
+from uresnet_tpu.models.uresnet import uresnet_apply, uresnet_init
+from uresnet_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+
+
+class TrainState(NamedTuple):
+    params: Any
+    model_state: Any          # BN running stats
+    opt: AdamState
+    key: jax.Array            # trainer PRNG (augmentation etc.)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, *, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._rep = replicated_sharding(self.mesh)
+        self._bsh = batch_sharding(self.mesh)
+        self._compiled: Dict[str, Any] = {}
+        self.loader: Optional[BatchLoader] = None
+        self.val_loader: Optional[BatchLoader] = None
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.train.seed if seed is None else seed
+        # uint32 PRNGKey (not typed key) so the key serializes in checkpoints
+        k_param, k_train = jax.random.split(jax.random.PRNGKey(seed))
+        params, mstate = uresnet_init(k_param, self.cfg.model)
+        state = TrainState(params=params, model_state=mstate,
+                           opt=adam_init(params), key=k_train)
+        return jax.device_put(state, self._rep)
+
+    # -- step functions ------------------------------------------------------
+
+    def _loss_fn(self, params, mstate, batch, train: bool):
+        logits, new_mstate = uresnet_apply(
+            params, mstate, batch["data"], cfg=self.cfg.model, train=train)
+        loss = weighted_softmax_xent(
+            logits, batch["label"], batch["weight"],
+            normalize=self.cfg.train.loss_normalize)
+        return loss, (logits, new_mstate)
+
+    def _train_step(self, ts: TrainState, batch) -> Tuple[TrainState, Dict]:
+        key, k_aug = jax.random.split(ts.key)
+        if self.cfg.data.augment:
+            batch = augment_batch(k_aug, batch, dims=self.cfg.model.dims)
+        (loss, (logits, mstate)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(ts.params, ts.model_state, batch, True)
+        params, opt = adam_update(grads, ts.opt, ts.params, self.cfg.optim)
+        metrics = segmentation_metrics(
+            logits, batch["label"], batch["data"],
+            num_class=self.cfg.model.num_class)
+        metrics["loss"] = loss
+        new_ts = TrainState(params=params, model_state=mstate, opt=opt, key=key)
+        return new_ts, metrics
+
+    def _eval_step(self, ts: TrainState, batch) -> Dict:
+        loss, (logits, _) = self._loss_fn(ts.params, ts.model_state, batch, False)
+        metrics = segmentation_metrics(
+            logits, batch["label"], batch["data"],
+            num_class=self.cfg.model.num_class)
+        metrics["loss"] = loss
+        return metrics
+
+    def _forward(self, ts: TrainState, data) -> jax.Array:
+        """Inference forward: per-pixel softmax scores (SURVEY.md §3.2)."""
+        logits, _ = uresnet_apply(ts.params, ts.model_state, data,
+                                  cfg=self.cfg.model, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    # -- compiled accessors ----------------------------------------------------
+
+    @property
+    def train_step(self):
+        if "train" not in self._compiled:
+            self._compiled["train"] = jax.jit(
+                self._train_step,
+                in_shardings=(self._rep, self._bsh),
+                out_shardings=(self._rep, self._rep),
+                donate_argnums=(0,),
+            )
+        return self._compiled["train"]
+
+    @property
+    def eval_step(self):
+        if "eval" not in self._compiled:
+            self._compiled["eval"] = jax.jit(
+                self._eval_step,
+                in_shardings=(self._rep, self._bsh),
+                out_shardings=self._rep,
+            )
+        return self._compiled["eval"]
+
+    @property
+    def forward(self):
+        if "forward" not in self._compiled:
+            self._compiled["forward"] = jax.jit(
+                self._forward,
+                in_shardings=(self._rep, self._bsh),
+                out_shardings=self._bsh,
+            )
+        return self._compiled["forward"]
+
+    # -- data -----------------------------------------------------------------
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        return {k: (jax.device_put(v, self._bsh)
+                    if isinstance(v, np.ndarray) and v.ndim > 0 else v)
+                for k, v in batch.items()}
+
+    def make_loader(self, *, train: bool = True, start_event: int = 0):
+        return make_batch_loader(
+            self.cfg.data, num_class=self.cfg.model.num_class, train=train,
+            ndims=self.cfg.model.dims, start_event=start_event)
+
+    # -- checkpoint -----------------------------------------------------------
+
+    def save(self, ts: TrainState, step: int, data_cursor: int = 0) -> str:
+        tree = {"train_state": jax.device_get(ts),
+                "meta": {"step": np.int64(step),
+                         "data_cursor": np.int64(data_cursor)}}
+        return ckpt.save_checkpoint(self.cfg.train.checkpoint_dir, step, tree)
+
+    def restore(self, path: Optional[str] = None) -> Tuple[TrainState, int, int]:
+        path = path or self.cfg.train.load_file or None
+        if path is None:
+            path = ckpt.latest_checkpoint(self.cfg.train.checkpoint_dir)
+        if path is None:
+            raise FileNotFoundError(
+                f"no checkpoint in {self.cfg.train.checkpoint_dir!r}")
+        template = {"train_state": jax.device_get(self.init_state()),
+                    "meta": {"step": np.int64(0), "data_cursor": np.int64(0)}}
+        tree = ckpt.load_checkpoint(path, template)
+        ts = jax.device_put(TrainState(*tree["train_state"]), self._rep)
+        return ts, int(tree["meta"]["step"]), int(tree["meta"]["data_cursor"])
+
+    # -- fit loop ---------------------------------------------------------------
+
+    def fit(self, iterations: Optional[int] = None, *, resume: bool = False,
+            log: bool = True) -> Tuple[TrainState, Dict[str, float]]:
+        cfg = self.cfg
+        iters = iterations if iterations is not None else cfg.train.iterations
+        start_step, cursor = 0, 0
+        if resume or cfg.train.load_file:
+            try:
+                ts, start_step, cursor = self.restore()
+            except FileNotFoundError:
+                ts = self.init_state()
+        else:
+            ts = self.init_state()
+
+        loader = self.make_loader(train=True, start_event=cursor)
+        loader.start()
+        self.loader = loader
+        logger = MetricsLogger(cfg.train.log_dir, name="train", echo=log)
+        val_logger = MetricsLogger(cfg.train.log_dir, name="val", echo=log)
+        last: Dict[str, float] = {}
+        it = device_prefetch(iter(loader), sharding=self._bsh,
+                             depth=cfg.data.prefetch_depth)
+        t_last = time.time()
+        cursor_now = cursor
+        try:
+            for step in range(start_step + 1, start_step + iters + 1):
+                batch = next(it)
+                cursor_now = int(batch.pop("cursor", 0))
+                ts, metrics = self.train_step(ts, batch)
+                if step % cfg.train.summary_iter == 0 or step == start_step + iters:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    dt = time.time() - t_last
+                    n_img = cfg.data.batch_size * cfg.train.summary_iter
+                    m["images_per_sec"] = n_img / max(dt, 1e-9)
+                    t_last = time.time()
+                    logger.log(step, m)
+                    last = m
+                if cfg.train.val_iter and step % cfg.train.val_iter == 0:
+                    vm = self.validate(ts, num_batches=2)
+                    val_logger.log(step, vm)
+                if cfg.train.checkpoint_iter and step % cfg.train.checkpoint_iter == 0:
+                    self.save(ts, step, cursor_now)
+            self.save(ts, start_step + iters, cursor_now)
+        finally:
+            loader.stop()
+            logger.close()
+            val_logger.close()
+        return ts, last
+
+    def validate(self, ts: TrainState, *, num_batches: int = 8) -> Dict[str, float]:
+        if self.val_loader is None:
+            self.val_loader = self.make_loader(train=False)
+        agg: Dict[str, float] = {}
+        for _ in range(num_batches):
+            batch = self.val_loader.next()
+            batch.pop("cursor", None)
+            m = jax.device_get(self.eval_step(ts, self._device_batch(batch)))
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0.0) + float(v) / num_batches
+        return agg
