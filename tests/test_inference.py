@@ -1,0 +1,84 @@
+"""Inference/ana path tests (SURVEY.md §3.2 contract) + decoder
+fault-injection/restart (SURVEY.md §5 failure detection)."""
+
+import numpy as np
+import pytest
+
+from uresnet_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from uresnet_tpu.data.synthetic import generate_file
+from uresnet_tpu.engine.evaluator import evaluate_dataset, run_inference
+from uresnet_tpu.engine.trainer import Trainer
+from uresnet_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("inf")
+    path = generate_file(str(tmp / "ana.usef"), 6, seed=21, shape=(128, 128),
+                         planes=(0, 1))
+    cfg = Config(
+        model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=64, batch_size=4, planes=(0, 1),
+                        input_files=(path,), synthetic=False,
+                        random_access=False),
+        train=TrainConfig(checkpoint_dir=str(tmp / "ckpt"),
+                          log_dir=str(tmp / "log")),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state()
+    return trainer, ts, path, tmp
+
+
+def test_run_inference_score_export(setup):
+    trainer, ts, path, tmp = setup
+    out = str(tmp / "scores.npz")
+    stats = run_inference(trainer, ts, path, out)
+    assert stats["n_events"] == 6
+    z = np.load(out)
+    assert set(z.files) >= {"event_id", "plane_id", "coords", "scores",
+                            "pred", "label"}
+    n = len(z["event_id"])
+    assert n > 0 and stats["n_pixels"] == n
+    assert z["scores"].shape == (n, 3)
+    # softmax scores: each row sums to 1
+    np.testing.assert_allclose(z["scores"].sum(1), 1.0, rtol=1e-4)
+    # every event/plane combination present
+    assert set(np.unique(z["event_id"])) == set(range(6))
+    assert set(np.unique(z["plane_id"])) == {0, 1}
+    # pred is argmax of scores
+    np.testing.assert_array_equal(z["pred"], z["scores"].argmax(1))
+
+
+def test_evaluate_dataset_metrics(setup):
+    trainer, ts, path, tmp = setup
+    m = evaluate_dataset(trainer, ts, num_batches=2)
+    for k in ("loss", "acc_all", "acc_nonzero", "miou"):
+        assert k in m and np.isfinite(m[k])
+
+
+def test_loader_kill_and_restart(setup):
+    """Fault injection: stop the threaded producer mid-epoch, restart from
+    the recorded cursor -> identical continuation, no deadlock."""
+    trainer, ts, path, tmp = setup
+    loader = trainer.make_loader(train=False)
+    if hasattr(loader, "close"):      # C++ path
+        loader.start(2)
+    else:
+        loader.start(2)
+    b1 = loader.next()
+    cursor = int(b1["cursor"])
+    loader.stop()                      # simulated crash/stop
+
+    loader2 = trainer.make_loader(train=False, start_event=cursor)
+    b2a = loader2.next()
+    loader2.stop()
+
+    loader3 = trainer.make_loader(train=False, start_event=cursor)
+    b3a = loader3.next()
+    loader3.stop()
+    # restart is deterministic from the cursor
+    np.testing.assert_array_equal(b2a["data"], b3a["data"])
+    for l in (loader, loader2, loader3):
+        if hasattr(l, "close"):
+            l.close()

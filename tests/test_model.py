@@ -72,6 +72,28 @@ def test_remat_matches_no_remat():
                                    atol=1e-5)
 
 
+def test_bf16_forward_backward():
+    """bf16 compute path (the TPU hot path) must trace, run and
+    differentiate — catches operand/cotangent dtype mismatches that f32-only
+    tests miss."""
+    cfg = ModelConfig(depth=2, base_filters=4, num_class=3,
+                      compute_dtype="bfloat16")
+    params, state = uresnet_init(jax.random.PRNGKey(5), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (2, 16, 16, 1))
+
+    def loss(p):
+        logits, _ = uresnet_apply(p, state, x, cfg=cfg, train=True)
+        assert logits.dtype == jnp.float32
+        return jnp.mean(logits ** 2)
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(params)
+    assert np.isfinite(float(val))
+    for g in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
+        # grads must come back in the param dtype (f32 master weights)
+        assert g.dtype == jnp.float32
+
+
 def test_golden_logits_fixture():
     """Fixed-seed tiny net -> checked-in logits checksum (SURVEY.md §4
     golden-value gate). Guards numerics drift across refactors/kernels."""

