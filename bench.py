@@ -26,6 +26,12 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--size", type=int, default=None)
+    p.add_argument("--no-pack", action="store_true",
+                   help="disable the space-to-depth packed fast path")
+    p.add_argument("--dims", type=int, default=2, choices=(2, 3),
+                   help="3 = 3D U-ResNet on volumes (BASELINE config 4)")
+    p.add_argument("--infer", action="store_true",
+                   help="benchmark the inference forward instead of training")
     args = p.parse_args()
 
     import jax
@@ -37,13 +43,22 @@ def main():
     from uresnet_tpu.parallel.mesh import make_mesh
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    size = args.size or (128 if args.quick else 512)
-    batch = args.batch or (4 if args.quick else (16 if on_tpu else 2))
+    if args.dims == 3:
+        size = args.size or (32 if args.quick else 192)
+        batch = args.batch or (1 if args.quick else (4 if on_tpu else 1))
+        depth = 4
+    else:
+        size = args.size or (128 if args.quick else 512)
+        batch = args.batch or (4 if args.quick else (16 if on_tpu else 2))
+        depth = 5
     steps = args.steps if not args.quick else min(args.steps, 5)
 
     cfg = Config(
-        model=ModelConfig(dims=2, num_class=3, base_filters=16, depth=5,
-                          compute_dtype="bfloat16" if on_tpu else "float32"),
+        model=ModelConfig(dims=args.dims, num_class=3, base_filters=16,
+                          depth=depth,
+                          compute_dtype="bfloat16" if on_tpu else "float32",
+                          pack=(not args.no_pack) and args.dims == 2,
+                          remat=args.dims == 3),
         data=DataConfig(image_size=size, batch_size=batch, planes=(0,)),
         optim=OptimConfig(lr=1e-3),
         train=TrainConfig(seed=0),
@@ -52,13 +67,37 @@ def main():
     ts = trainer.init_state()
 
     rng = np.random.default_rng(0)
+    sp = (size,) * args.dims
     batch_np = {
-        "data": (rng.random((batch, size, size, 1), np.float32) *
-                 (rng.random((batch, size, size, 1)) > 0.95)).astype(np.float32),
-        "label": rng.integers(0, 3, (batch, size, size)).astype(np.int32),
-        "weight": np.ones((batch, size, size), np.float32),
+        "data": (rng.random((batch,) + sp + (1,)) *
+                 (rng.random((batch,) + sp + (1,)) > 0.95)).astype(np.float32),
+        "label": rng.integers(0, 3, (batch,) + sp).astype(np.int32),
+        "weight": np.ones((batch,) + sp, np.float32),
     }
     dev_batch = trainer._device_batch(batch_np)
+
+    if args.infer:
+        ts0 = ts
+        def run_fwd(k):
+            s = None
+            t0 = time.perf_counter()
+            for _ in range(k):
+                s = trainer.forward(ts0, dev_batch["data"])
+            float(s[(0,) * s.ndim])
+            return time.perf_counter() - t0
+        run_fwd(1); run_fwd(2)
+        import statistics
+        t_n = [run_fwd(steps) for _ in range(3)]
+        t_2n = [run_fwd(2 * steps) for _ in range(3)]
+        dt = max(statistics.median(t_2n) - statistics.median(t_n), 1e-9)
+        ips = batch * steps / dt / len(jax.devices())
+        print(json.dumps({
+            "metric": f"infer_images_per_sec_per_chip_{size}_{args.dims}d",
+            "value": round(ips, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     # Timing protocol: the axon relay makes block_until_ready a no-op and
     # adds O(100ms) jitter per host sync, so (a) sync via a scalar host
@@ -121,7 +160,7 @@ def main():
             vs_baseline = images_per_sec_per_chip / base[key]
 
     print(json.dumps({
-        "metric": f"train_images_per_sec_per_chip_{size}x{size}_2d",
+        "metric": f"train_images_per_sec_per_chip_{size}x{size}_{args.dims}d",
         "value": round(images_per_sec_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else 0.0,

@@ -1,0 +1,86 @@
+"""Space-to-depth packed ops == canonical lax ops, bit-level in f32
+(the exactness gate for the packed level-0 fast path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from uresnet_tpu.ops.pack import (conv_packed, depth_to_space,
+                                  pack_weight_concat, pack_weight_conv,
+                                  pack_weight_down, pack_weight_up,
+                                  space_to_depth)
+
+DN = ("NHWC", "HWIO", "NHWC")
+HI = lax.Precision.HIGHEST
+
+
+def ref_conv(x, w, s=1):
+    return lax.conv_general_dilated(x, w, (s, s), "SAME",
+                                    dimension_numbers=DN, precision=HI)
+
+
+def ref_convt(x, w, s=2):
+    return lax.conv_transpose(x, w, (s, s), "SAME", dimension_numbers=DN,
+                              precision=HI)
+
+
+@pytest.fixture
+def data(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    return x
+
+
+def test_s2d_d2s_roundtrip(data):
+    xp = space_to_depth(data)
+    assert xp.shape == (2, 8, 8, 12)
+    np.testing.assert_array_equal(np.asarray(depth_to_space(xp)),
+                                  np.asarray(data))
+    # phase layout: channel ((p*2)+q)*C + c
+    np.testing.assert_array_equal(np.asarray(xp[0, 0, 0, 3:6]),
+                                  np.asarray(data[0, 0, 1, :]))  # p=0,q=1
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_packed_conv_matches(rng, data, k):
+    w = jnp.asarray(rng.standard_normal((k, k, 3, 5)).astype(np.float32) * .2)
+    want = ref_conv(data, w)
+    got = depth_to_space(conv_packed(
+        space_to_depth(data), pack_weight_conv(w), padding="SAME",
+        compute_dtype=jnp.float32, precision=HI))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_packed_down_matches(rng, data):
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 6)).astype(np.float32) * .2)
+    want = ref_conv(data, w, s=2)
+    got = conv_packed(space_to_depth(data), pack_weight_down(w),
+                      padding=((0, 1), (0, 1)), compute_dtype=jnp.float32,
+                      precision=HI)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_packed_up_matches(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 4)).astype(np.float32) * .2)
+    want = ref_convt(x, w)                       # (2, 16, 16, 4)
+    got = depth_to_space(conv_packed(
+        x, pack_weight_up(w), padding=((1, 0), (1, 0)),
+        compute_dtype=jnp.float32, precision=HI))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_packed_concat_matches(rng, data):
+    x2 = jnp.asarray(rng.standard_normal((2, 16, 16, 5)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 4)).astype(np.float32) * .2)
+    want = ref_conv(jnp.concatenate([data, x2], -1), w)
+    xp = jnp.concatenate([space_to_depth(data), space_to_depth(x2)], -1)
+    wp = pack_weight_concat([w[:, :, :3], w[:, :, 3:]])
+    got = depth_to_space(conv_packed(xp, wp, padding="SAME",
+                                     compute_dtype=jnp.float32, precision=HI))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)

@@ -1,0 +1,77 @@
+"""Packed (space-to-depth) forward == canonical forward, incl. BN state and
+gradients — the exactness gate for the TPU fast path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uresnet_tpu.config import ModelConfig
+from uresnet_tpu.models.uresnet import uresnet_apply, uresnet_init
+
+
+def cfgs(depth=2, base=4):
+    a = ModelConfig(depth=depth, base_filters=base, num_class=3,
+                    compute_dtype="float32", pack=False)
+    b = ModelConfig(depth=depth, base_filters=base, num_class=3,
+                    compute_dtype="float32", pack=True)
+    return a, b
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_packed_equals_canonical(train):
+    cfg_a, cfg_b = cfgs()
+    params, state = uresnet_init(jax.random.PRNGKey(21), cfg_a)
+    x = jax.random.uniform(jax.random.PRNGKey(22), (2, 16, 16, 1))
+    la, sa = uresnet_apply(params, state, x, cfg=cfg_a, train=train)
+    lb, sb = uresnet_apply(params, state, x, cfg=cfg_b, train=train)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4,
+                               atol=1e-5)
+    for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_packed_grads_match():
+    cfg_a, cfg_b = cfgs()
+    params, state = uresnet_init(jax.random.PRNGKey(23), cfg_a)
+    x = jax.random.uniform(jax.random.PRNGKey(24), (2, 16, 16, 1))
+    tgt = jax.random.normal(jax.random.PRNGKey(25), (2, 16, 16, 3))
+
+    def loss(p, cfg):
+        l, _ = uresnet_apply(p, state, x, cfg=cfg, train=True)
+        return jnp.mean((l - tgt) ** 2)
+
+    ga = jax.grad(lambda p: loss(p, cfg_a))(params)
+    gb = jax.grad(lambda p: loss(p, cfg_b))(params)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5)
+
+
+def test_packed_deeper_partial_packing():
+    """depth 3, base 16, threshold 64: levels 0/1 packed, level 2 + mid not."""
+    cfg_a = ModelConfig(depth=3, base_filters=16, num_class=2,
+                        compute_dtype="float32", pack=False)
+    cfg_b = ModelConfig(depth=3, base_filters=16, num_class=2,
+                        compute_dtype="float32", pack=True)
+    params, state = uresnet_init(jax.random.PRNGKey(26), cfg_a)
+    x = jax.random.uniform(jax.random.PRNGKey(27), (1, 32, 32, 1))
+    la, _ = uresnet_apply(params, state, x, cfg=cfg_a, train=False)
+    lb, _ = uresnet_apply(params, state, x, cfg=cfg_b, train=False)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_packed_remat():
+    cfg_b = ModelConfig(depth=2, base_filters=4, num_class=3,
+                        compute_dtype="float32", pack=True, remat=True)
+    params, state = uresnet_init(jax.random.PRNGKey(28), cfg_b)
+    x = jax.random.uniform(jax.random.PRNGKey(29), (1, 16, 16, 1))
+
+    def loss(p):
+        l, _ = uresnet_apply(p, state, x, cfg=cfg_b, train=True)
+        return jnp.mean(l ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree.leaves(g))

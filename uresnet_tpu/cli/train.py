@@ -26,11 +26,20 @@ def main(argv=None):
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
                    help="force a JAX platform (the image's sitecustomize "
                         "pins the TPU; env vars alone cannot override it)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host SPMD: jax.distributed.initialize() — one "
+                        "process per host, all devices in one mesh "
+                        "(SURVEY.md 2.4 process model)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the first "
+                        "summary window into DIR")
     args = p.parse_args(argv)
 
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.distributed:
+        jax.distributed.initialize()
 
     overrides = list(args.overrides)
     if args.config and "=" in args.config:
@@ -43,6 +52,16 @@ def main(argv=None):
 
     trainer = Trainer(cfg, mesh=make_mesh())
     print(f"mesh: {trainer.mesh}", flush=True)
+    if args.profile:
+        from uresnet_tpu.engine.profiling import trace
+
+        with trace(args.profile):
+            ts, metrics = trainer.fit(
+                iterations=min(args.iterations or cfg.train.summary_iter,
+                               cfg.train.summary_iter),
+                resume=args.resume)
+        print(f"profile trace written to {args.profile}", flush=True)
+        return 0
     ts, metrics = trainer.fit(iterations=args.iterations, resume=args.resume)
     print("final:", {k: round(v, 5) for k, v in metrics.items()}, flush=True)
     return 0

@@ -45,6 +45,8 @@ class ModelConfig:
     final_kernel: int = 3            # kernel of the logits conv
     remat: bool = False              # jax.checkpoint per level (3D memory)
     kernel_backend: str = "auto"     # "xla" | "pallas" | "auto" (bench-gated)
+    pack: bool = False               # space-to-depth packed low-channel levels
+    pack_threshold: int = 64         # pack levels with channels < threshold
 
 
 @dataclass
@@ -197,17 +199,32 @@ def _set_dotted(obj: Any, dotted: str, value: Any) -> None:
     setattr(obj, name, value)
 
 
+# Reference keys that point at larcv PSet IO config files rather than plain
+# values (SURVEY.md §2.1 larcv IO configs; lib/config.py *_IO_CONFIG [K:med]).
+_PSET_KEYS = ("IO_CONFIG", "FILLER_CONFIG", "TRAIN_IO_CONFIG",
+              "TEST_IO_CONFIG", "ANA_IO_CONFIG")
+
+
+def _apply_kv(cfg: Config, key: str, raw: str) -> None:
+    key = key.strip()
+    if key.upper() in _PSET_KEYS:
+        from uresnet_tpu.data.pset_compat import apply_pset_io_config
+
+        apply_pset_io_config(raw.strip().strip("'\""), cfg.data)
+        return
+    dotted = _REFERENCE_KEYS.get(key.upper()) if key.isupper() else key
+    if dotted is None:
+        dotted = key
+    _set_dotted(cfg, dotted, _coerce(raw))
+
+
 def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
     """Apply ``a.b=c`` (dotted) or ``UPPER_KEY=value`` (reference style)."""
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"override must be KEY=value, got {ov!r}")
         key, _, raw = ov.partition("=")
-        key = key.strip()
-        dotted = _REFERENCE_KEYS.get(key.upper()) if key.isupper() else key
-        if dotted is None:
-            dotted = key
-        _set_dotted(cfg, dotted, _coerce(raw))
+        _apply_kv(cfg, key, raw)
     return cfg
 
 
@@ -225,6 +242,11 @@ def parse_kv_text(text: str, cfg: Optional[Config] = None) -> Config:
             if len(parts) != 2:
                 raise ValueError(f"line {lineno}: expected 'KEY value', got {line!r}")
             key, raw = parts
+        if key.upper() in _PSET_KEYS:
+            from uresnet_tpu.data.pset_compat import apply_pset_io_config
+
+            apply_pset_io_config(raw.strip().strip("'\""), cfg.data)
+            continue
         dotted = _REFERENCE_KEYS.get(key.upper())
         if dotted is None and "." in key:
             dotted = key

@@ -16,7 +16,8 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str, *, name: str = "train", echo: bool = True):
+    def __init__(self, log_dir: str, *, name: str = "train", echo: bool = True,
+                 tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self._csv_path = os.path.join(log_dir, f"{name}_metrics.csv")
         self._jsonl_path = os.path.join(log_dir, f"{name}_metrics.jsonl")
@@ -25,6 +26,11 @@ class MetricsLogger:
         self._header_written = os.path.getsize(self._csv_path) > 0
         self._echo = echo
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard:
+            from uresnet_tpu.engine.tb_writer import TBWriter
+
+            self._tb = TBWriter(log_dir, name=name)
 
     def log(self, step: int, metrics: Dict[str, float]):
         row = {"step": int(step), "wall_s": round(time.time() - self._t0, 3)}
@@ -35,6 +41,9 @@ class MetricsLogger:
         self._csv.write(",".join(f"{v:.6g}" if isinstance(v, float) else str(v)
                                  for v in row.values()) + "\n")
         self._jsonl.write(json.dumps(row) + "\n")
+        if self._tb is not None:
+            self._tb.scalars(int(step),
+                             {k: v for k, v in row.items() if k != "step"})
         if self._echo:
             body = " ".join(f"{k}={v:.4g}" for k, v in row.items() if k != "step")
             print(f"[step {step}] {body}", flush=True)
@@ -42,3 +51,5 @@ class MetricsLogger:
     def close(self):
         self._csv.close()
         self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

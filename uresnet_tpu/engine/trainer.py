@@ -226,6 +226,10 @@ class Trainer:
                     dt = time.time() - t_last
                     n_img = cfg.data.batch_size * cfg.train.summary_iter
                     m["images_per_sec"] = n_img / max(dt, 1e-9)
+                    # decode-queue depth: starvation visibility (SURVEY.md §5)
+                    q = getattr(loader, "_q", None)
+                    if q is not None:
+                        m["decode_queue_depth"] = float(q.qsize())
                     t_last = time.time()
                     logger.log(step, m)
                     last = m

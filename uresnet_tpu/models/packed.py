@@ -1,0 +1,219 @@
+"""Packed (space-to-depth) U-ResNet forward: the TPU fast path.
+
+Measured motivation (benchmarks/micro.py, v5e): convs at 512^2 x 16ch run at
+~2.7 TF/s (16/128 MXU lanes used); the same math packed to 256^2 x 64ch runs
+in the 60+ TF/s regime. This module runs every level whose channel count is
+below ``cfg.pack_threshold`` in packed space using the exact-equivalence
+kernels of `uresnet_tpu.ops.pack` — same params, same function, different
+layout. Equality with the canonical forward is pinned by
+tests/test_packed_model.py (f32, rtol 1e-4).
+
+Layout rules per level l (f = base_filters * 2^l):
+  encoder: unpacked input -> [s2d] -> packed blocks -> packed-down conv ->
+           UNPACKED (S/2, 2f) output; skip saved packed.
+  decoder: unpacked (S/2, 2f) -> packed-up conv -> packed (4f on the S/2
+           grid) -> concat packed skip -> packed blocks -> [d2s] -> unpacked,
+           except level 0 which stays packed through the head conv.
+BatchNorm in packed space reshapes (..., 4C) -> (..., 4, C) so statistics
+aggregate over the 4 spatial phases — identical to unpacked BN; running
+stats keep their canonical (C,) shape (checkpoint-compatible).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from uresnet_tpu.config import ModelConfig
+from uresnet_tpu.models.blocks import BlockCtx, conv_bn_apply, resblock_apply
+from uresnet_tpu.ops.conv import _precision, conv
+from uresnet_tpu.ops.pack import (R, conv_packed, depth_to_space,
+                                  pack_weight_concat, pack_weight_conv,
+                                  pack_weight_down, pack_weight_up,
+                                  space_to_depth)
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+def _bn_packed(ctx: BlockCtx, p, s, x, train):
+    B, H, W, C4 = x.shape
+    C = C4 // (R * R)
+    y, ns = ctx.bn(x.reshape(B, H, W, R * R, C), p, s, train)
+    return y.reshape(B, H, W, C4), ns
+
+
+def _conv_bn_packed(ctx, params, state, x, *, train, relu=True,
+                    mode="same", in_splits=None):
+    """Packed conv + BN + ReLU. mode: 'same' | 'down' | 'up'."""
+    w = params["conv"]["w"]
+    prec = _precision(ctx.compute_dtype)
+    if mode == "same":
+        wp = (pack_weight_concat([w[:, :, a:b] for a, b in in_splits])
+              if in_splits else pack_weight_conv(w))
+        y = conv_packed(x, wp, padding="SAME",
+                        compute_dtype=ctx.compute_dtype, precision=prec)
+        y, ns = _bn_packed(ctx, params["bn"], state["bn"], y, train)
+    elif mode == "down":
+        y = conv_packed(x, pack_weight_down(w), padding=((0, 1), (0, 1)),
+                        compute_dtype=ctx.compute_dtype, precision=prec)
+        y, ns = ctx.bn(y, params["bn"], state["bn"], train)  # unpacked out
+    elif mode == "up":
+        y = conv_packed(x, pack_weight_up(w), padding=((1, 0), (1, 0)),
+                        compute_dtype=ctx.compute_dtype, precision=prec)
+        y, ns = _bn_packed(ctx, params["bn"], state["bn"], y, train)
+    else:
+        raise ValueError(mode)
+    if relu:
+        y = jax.nn.relu(y)
+    return y, {"bn": ns}
+
+
+def _resblock_packed(ctx, params, state, x, *, train, in_splits=None):
+    y, s1 = _conv_bn_packed(ctx, params["cb1"], state["cb1"], x, train=train,
+                            in_splits=in_splits)
+    y, s2 = _conv_bn_packed(ctx, params["cb2"], state["cb2"], y, train=train,
+                            relu=False)
+    shortcut = x
+    if "proj" in params:
+        w = params["proj"]["w"]
+        wp = (pack_weight_concat([w[:, :, a:b] for a, b in in_splits])
+              if in_splits else pack_weight_conv(w))
+        shortcut = conv_packed(x, wp, padding="SAME",
+                               compute_dtype=ctx.compute_dtype,
+                               precision=_precision(ctx.compute_dtype))
+    y = jax.nn.relu(y + shortcut.astype(y.dtype))
+    return y, {"cb1": s1, "cb2": s2}
+
+
+def uresnet_apply_packed(
+    params: Params,
+    state: State,
+    x: jax.Array,
+    *,
+    cfg: ModelConfig,
+    train: bool,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, State]:
+    """Forward with packed low-channel levels. 2D only; numerically equal to
+    `uresnet_apply` (up to f32 rounding in the relayout)."""
+    assert cfg.dims == 2, "packed path is 2D (3D packing lands separately)"
+    from uresnet_tpu.models.uresnet import _ctx  # shared BlockCtx builder
+
+    ctx = _ctx(cfg, axis_name)
+    new_state: State = {}
+
+    def packed_level(lvl: int) -> bool:
+        return cfg.base_filters * (2 ** lvl) < cfg.pack_threshold
+
+    def level(fn):
+        return jax.checkpoint(fn) if cfg.remat else fn
+
+    def run_blocks(prefix, h, packed, first_in_splits=None):
+        sub = {}
+        for b in range(cfg.blocks_per_level):
+            name = f"{prefix}_b{b}"
+            splits = first_in_splits if b == 0 else None
+            if packed:
+                h, sub[name] = _resblock_packed(ctx, params[name], state[name],
+                                                h, train=train,
+                                                in_splits=splits)
+            else:
+                h, sub[name] = resblock_apply(ctx, params[name], state[name],
+                                              h, train=train)
+        return h, sub
+
+    # stem
+    if packed_level(0):
+        h = space_to_depth(x)
+        h, s = _conv_bn_packed(ctx, params["stem"], state["stem"], h,
+                               train=train)
+    else:
+        h, s = conv_bn_apply(ctx, params["stem"], state["stem"], x,
+                             train=train)
+    new_state["stem"] = s
+
+    skips, skips_packed = [], []
+    for lvl in range(cfg.depth):
+        pk = packed_level(lvl)
+
+        def enc(h, lvl=lvl, pk=pk):
+            if pk and not (lvl == 0 and packed_level(0)):
+                h = space_to_depth(h)
+            h, sub = run_blocks(f"enc{lvl}", h, pk)
+            skip = h
+            name = f"down{lvl}"
+            if pk:
+                hs, s = _conv_bn_packed(ctx, params[name], state[name], h,
+                                        train=train, mode="down")
+            else:
+                hs, s = conv_bn_apply(ctx, params[name], state[name], h,
+                                      stride=2, train=train)
+            sub[name] = s
+            return hs, skip, sub
+
+        h, skip, sub = level(enc)(h)
+        skips.append(skip)
+        skips_packed.append(pk)
+        new_state.update(sub)
+        # encoder level 0 packed output already consumed; next level input is
+        # unpacked by construction (packed-down emits unpacked).
+
+    h, sub = level(lambda h: run_blocks("mid", h, False))(h)
+    new_state.update(sub)
+
+    for lvl in reversed(range(cfg.depth)):
+        pk = packed_level(lvl)
+        fl = cfg.base_filters * (2 ** lvl)
+
+        def dec(h, skip, lvl=lvl, pk=pk, fl=fl):
+            name = f"up{lvl}"
+            sub = {}
+            if pk:
+                h, s = _conv_bn_packed(ctx, params[name], state[name], h,
+                                       train=train, mode="up")
+                sub[name] = s
+                skip_p = skip if skips_packed[lvl] else space_to_depth(skip)
+                h = jnp.concatenate([h, skip_p.astype(h.dtype)], axis=-1)
+                splits = ((0, fl), (fl, 2 * fl))
+                h, bsub = run_blocks(f"dec{lvl}", h, True,
+                                     first_in_splits=splits)
+                if lvl != 0:
+                    h = depth_to_space(h)
+            else:
+                # Even at high channel counts the phase-decomposed upsample
+                # beats lax.conv_transpose: 2x2 packed conv + d2s does
+                # 16*Ci*Co*(S/2)^2 MACs vs the dilated conv's 36 — 2.25x
+                # fewer — and identical numerics (tests/test_pack.py).
+                w = params[name]["conv"]["w"]
+                y = conv_packed(h, pack_weight_up(w),
+                                padding=((1, 0), (1, 0)),
+                                compute_dtype=ctx.compute_dtype,
+                                precision=_precision(ctx.compute_dtype))
+                h = depth_to_space(y)
+                h, s = ctx.bn(h, params[name]["bn"], state[name]["bn"], train)
+                h = jax.nn.relu(h)
+                sub[name] = {"bn": s}
+                h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
+                h, bsub = run_blocks(f"dec{lvl}", h, False)
+            sub.update(bsub)
+            return h, sub
+
+        h, sub = level(dec)(h, skips[lvl])
+        new_state.update(sub)
+
+    if packed_level(0):
+        wp = pack_weight_conv(params["head"]["w"])
+        logits = conv_packed(h, wp, padding="SAME",
+                             compute_dtype=ctx.compute_dtype,
+                             precision=_precision(ctx.compute_dtype))
+        if "b" in params["head"]:
+            bias = params["head"]["b"]
+            logits = logits + jnp.tile(bias, R * R).astype(logits.dtype)
+        logits = depth_to_space(logits)
+    else:
+        logits = conv(h, params["head"], dims=2,
+                      compute_dtype=ctx.compute_dtype)
+    return logits.astype(jnp.float32), new_state

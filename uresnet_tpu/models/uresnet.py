@@ -113,7 +113,14 @@ def uresnet_apply(
     """Forward pass: (B, *spatial, C_in) -> float32 logits (B, *spatial, num_class).
 
     Returns updated BN state (identical to input state when ``train=False``).
+    With ``cfg.pack`` (2D), low-channel levels run in space-to-depth packed
+    layout (models/packed.py) — numerically equivalent, much faster on TPU.
     """
+    if cfg.pack and cfg.dims == 2:
+        from uresnet_tpu.models.packed import uresnet_apply_packed
+
+        return uresnet_apply_packed(params, state, x, cfg=cfg, train=train,
+                                    axis_name=axis_name)
     ctx = _ctx(cfg, axis_name)
     new_state: State = {}
 

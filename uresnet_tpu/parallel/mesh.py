@@ -28,24 +28,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
+MODEL_AXIS = "model"
 
 
 def make_mesh(
     n_data: Optional[int] = None,
     n_spatial: int = 1,
+    n_model: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Mesh of shape (data, spatial). Defaults: all devices on the data axis."""
+    """Mesh of shape (data, spatial, model). Defaults: all devices on the
+    data axis. The model axis is the TP hook (SURVEY.md §2.3): channel-
+    sharded convs via `uresnet_tpu.parallel.tp`."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None or n_data <= 0:
-        n_data = len(devices) // n_spatial
-    need = n_data * n_spatial
+        n_data = len(devices) // (n_spatial * n_model)
+    need = n_data * n_spatial * n_model
     if need > len(devices):
-        raise ValueError(f"mesh {n_data}x{n_spatial} needs {need} devices, "
-                         f"have {len(devices)}")
-    grid = np.array(devices[:need]).reshape(n_data, n_spatial)
-    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+        raise ValueError(f"mesh {n_data}x{n_spatial}x{n_model} needs {need} "
+                         f"devices, have {len(devices)}")
+    grid = np.array(devices[:need]).reshape(n_data, n_spatial, n_model)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh, *, spatial_dim: Optional[int] = None) -> NamedSharding:
