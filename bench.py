@@ -49,7 +49,7 @@ def main():
         depth = 4
     else:
         size = args.size or (128 if args.quick else 512)
-        batch = args.batch or (4 if args.quick else (16 if on_tpu else 2))
+        batch = args.batch or (4 if args.quick else (32 if on_tpu else 2))
         depth = 5
     steps = args.steps if not args.quick else min(args.steps, 5)
 

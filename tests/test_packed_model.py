@@ -25,8 +25,8 @@ def test_packed_equals_canonical(train):
     x = jax.random.uniform(jax.random.PRNGKey(22), (2, 16, 16, 1))
     la, sa = uresnet_apply(params, state, x, cfg=cfg_a, train=train)
     lb, sb = uresnet_apply(params, state, x, cfg=cfg_b, train=train)
-    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4,
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-3,
+                               atol=5e-5)
     for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)

