@@ -45,7 +45,9 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     if args.dims == 3:
         size = args.size or (32 if args.quick else 192)
-        batch = args.batch or (1 if args.quick else (4 if on_tpu else 1))
+        # one 192^3 x 16ch bf16 activation is ~0.9 GB — batch 2 is the HBM
+        # ceiling on a 16 GB v5e even with remat (batch 4 OOMs)
+        batch = args.batch or (1 if args.quick else (2 if on_tpu else 1))
         depth = 4
     else:
         size = args.size or (128 if args.quick else 512)
@@ -57,7 +59,7 @@ def main():
         model=ModelConfig(dims=args.dims, num_class=3, base_filters=16,
                           depth=depth,
                           compute_dtype="bfloat16" if on_tpu else "float32",
-                          pack=(not args.no_pack) and args.dims == 2,
+                          pack=not args.no_pack,
                           remat=args.dims == 3),
         data=DataConfig(image_size=size, batch_size=batch, planes=(0,)),
         optim=OptimConfig(lr=1e-3),

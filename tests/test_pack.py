@@ -74,6 +74,61 @@ def test_packed_up_matches(rng):
                                atol=1e-5)
 
 
+DN3 = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def ref_conv3(x, w, s=1):
+    return lax.conv_general_dilated(x, w, (s, s, s), "SAME",
+                                    dimension_numbers=DN3, precision=HI)
+
+
+def test_packed_conv3d_matches(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 3)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 4)).astype(np.float32) * .2)
+    want = ref_conv3(x, w)
+    got = depth_to_space(conv_packed(
+        space_to_depth(x, dims=3), pack_weight_conv(w, dims=3),
+        padding="SAME", dims=3, compute_dtype=jnp.float32, precision=HI),
+        dims=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_packed_down3d_matches(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 2)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 2, 4)).astype(np.float32) * .2)
+    want = ref_conv3(x, w, s=2)
+    got = conv_packed(space_to_depth(x, dims=3), pack_weight_down(w, dims=3),
+                      padding=(0, 1), dims=3, compute_dtype=jnp.float32,
+                      precision=HI)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_packed_up3d_matches(rng):
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 4)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4, 2)).astype(np.float32) * .2)
+    want = lax.conv_transpose(x, w, (2, 2, 2), "SAME",
+                              dimension_numbers=DN3, precision=HI)
+    got = depth_to_space(conv_packed(
+        x, pack_weight_up(w, dims=3), padding=(1, 0), dims=3,
+        compute_dtype=jnp.float32, precision=HI), dims=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_s2d_h_pack_matches(rng, data):
+    from uresnet_tpu.ops.pack import d2s_h, pack_weight_conv_h, s2d_h
+
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 5)).astype(np.float32) * .2)
+    want = ref_conv(data, w)
+    got = d2s_h(conv_packed(s2d_h(data), pack_weight_conv_h(w),
+                            padding="SAME", compute_dtype=jnp.float32,
+                            precision=HI))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_packed_concat_matches(rng, data):
     x2 = jnp.asarray(rng.standard_normal((2, 16, 16, 5)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((3, 3, 8, 4)).astype(np.float32) * .2)

@@ -13,8 +13,10 @@ from uresnet_tpu.models.uresnet import uresnet_apply, uresnet_init
 def cfgs(depth=2, base=4):
     a = ModelConfig(depth=depth, base_filters=base, num_class=3,
                     compute_dtype="float32", pack=False)
+    # pack_extra_h=True keeps the (bench-gated, default-off) H-pack path
+    # under equivalence coverage
     b = ModelConfig(depth=depth, base_filters=base, num_class=3,
-                    compute_dtype="float32", pack=True)
+                    compute_dtype="float32", pack=True, pack_extra_h=True)
     return a, b
 
 
@@ -61,6 +63,23 @@ def test_packed_deeper_partial_packing():
     lb, _ = uresnet_apply(params, state, x, cfg=cfg_b, train=False)
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_packed_3d_equals_canonical():
+    cfg_a = ModelConfig(dims=3, depth=2, base_filters=2, num_class=3,
+                        compute_dtype="float32", pack=False)
+    cfg_b = ModelConfig(dims=3, depth=2, base_filters=2, num_class=3,
+                        compute_dtype="float32", pack=True)
+    params, state = uresnet_init(jax.random.PRNGKey(31), cfg_a)
+    x = jax.random.uniform(jax.random.PRNGKey(32), (1, 8, 8, 8, 1))
+    for train in (False, True):
+        la, sa = uresnet_apply(params, state, x, cfg=cfg_a, train=train)
+        lb, sb = uresnet_apply(params, state, x, cfg=cfg_b, train=train)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-3,
+                                   atol=5e-5)
+        for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
 
 
 def test_packed_remat():

@@ -141,6 +141,26 @@ def test_dp_equals_single_device(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_fit_3d_end_to_end(tmp_path):
+    """3D slice (BASELINE config 4 shape, tiny): loader -> packed 3D model ->
+    checkpoint."""
+    cfg = Config(
+        model=ModelConfig(dims=3, depth=2, base_filters=2, num_class=3,
+                          compute_dtype="float32", pack=True, remat=True),
+        data=DataConfig(image_size=16, batch_size=2, planes=(0,),
+                        synthetic=True, synthetic_events=4, seed=6,
+                        num_threads=1, random_access=False),
+        optim=OptimConfig(lr=1e-3),
+        train=TrainConfig(iterations=2, summary_iter=1, checkpoint_iter=0,
+                          val_iter=0, seed=12,
+                          checkpoint_dir=str(tmp_path / "ckpt3d"),
+                          log_dir=str(tmp_path / "log3d")),
+    )
+    tr = Trainer(cfg, mesh=make_mesh(1))
+    ts, metrics = tr.fit(iterations=2, log=False)
+    assert np.isfinite(metrics["loss"])
+
+
 def test_eval_step_and_forward(tmp_path):
     cfg = tiny_config(tmp_path)
     tr = Trainer(cfg, mesh=make_mesh(1))

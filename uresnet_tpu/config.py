@@ -47,6 +47,10 @@ class ModelConfig:
     kernel_backend: str = "auto"     # "xla" | "pallas" | "auto" (bench-gated)
     pack: bool = False               # space-to-depth packed low-channel levels
     pack_threshold: int = 64         # pack levels with channels < threshold
+    pack_extra_h: bool = False       # extra H-phase for <=64-ch block runs
+                                     # (bench-gated: measured neutral at 512^2
+                                     # base16 — relayouts+bwd eat the conv
+                                     # gain; may win at smaller base_filters)
 
 
 @dataclass

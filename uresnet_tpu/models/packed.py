@@ -1,22 +1,26 @@
-"""Packed (space-to-depth) U-ResNet forward: the TPU fast path.
+"""Packed (space-to-depth) U-ResNet forward: the TPU fast path (2D and 3D).
 
-Measured motivation (benchmarks/micro.py, v5e): convs at 512^2 x 16ch run at
-~2.7 TF/s (16/128 MXU lanes used); the same math packed to 256^2 x 64ch runs
-in the 60+ TF/s regime. This module runs every level whose channel count is
-below ``cfg.pack_threshold`` in packed space using the exact-equivalence
-kernels of `uresnet_tpu.ops.pack` — same params, same function, different
-layout. Equality with the canonical forward is pinned by
-tests/test_packed_model.py (f32, rtol 1e-4).
+Measured motivation (benchmarks/RESULTS.md, v5e): convs at 512^2 x 16ch run
+at ~2.7 TF/s (16/128 MXU lanes used); the same math packed to 256^2 x 64ch
+runs at 30+ TF/s, and with one extra H-phase at 128ch at ~94 TF/s. In 3D,
+packing 192^3 x 16 -> 96^3 x 128 additionally avoids an XLA tile-padding
+blowup (8x expansion on a tiny-minor-dim gradient tensor) that OOMs the
+canonical layout. This module runs every level whose channel count is below
+``cfg.pack_threshold`` in packed space using the exact-equivalence kernels
+of `uresnet_tpu.ops.pack` — same params, same function, different layout.
+Equality with the canonical forward is pinned by tests/test_packed_model.py.
 
-Layout rules per level l (f = base_filters * 2^l):
+Layout rules per level l (f = base_filters * 2^l, P = 2^dims):
   encoder: unpacked input -> [s2d] -> packed blocks -> packed-down conv ->
            UNPACKED (S/2, 2f) output; skip saved packed.
-  decoder: unpacked (S/2, 2f) -> packed-up conv -> packed (4f on the S/2
+  decoder: unpacked (S/2, 2f) -> packed-up conv -> packed (P*f on the S/2
            grid) -> concat packed skip -> packed blocks -> [d2s] -> unpacked,
            except level 0 which stays packed through the head conv.
-BatchNorm in packed space reshapes (..., 4C) -> (..., 4, C) so statistics
-aggregate over the 4 spatial phases — identical to unpacked BN; running
-stats keep their canonical (C,) shape (checkpoint-compatible).
+  2D block runs whose P*f <= 64 get an extra factor-2 H pack (s2d_h) so the
+  convs run at 2*P*f channels.
+BatchNorm in packed space reshapes (..., P*C) -> (..., P, C) so statistics
+aggregate over the spatial phases — identical to unpacked BN; running stats
+keep their canonical (C,) shape (checkpoint-compatible).
 """
 
 from __future__ import annotations
@@ -29,41 +33,50 @@ import jax.numpy as jnp
 from uresnet_tpu.config import ModelConfig
 from uresnet_tpu.models.blocks import BlockCtx, conv_bn_apply, resblock_apply
 from uresnet_tpu.ops.conv import _precision, conv
-from uresnet_tpu.ops.pack import (R, conv_packed, depth_to_space,
+from uresnet_tpu.ops.pack import (conv_packed, d2s_h, depth_to_space,
                                   pack_weight_concat, pack_weight_conv,
-                                  pack_weight_down, pack_weight_up,
-                                  space_to_depth)
+                                  pack_weight_conv_h, pack_weight_down,
+                                  pack_weight_up, s2d_h, space_to_depth)
 
 Params = Dict[str, Any]
 State = Dict[str, Any]
 
 
-def _bn_packed(ctx: BlockCtx, p, s, x, train):
-    B, H, W, C4 = x.shape
-    C = C4 // (R * R)
-    y, ns = ctx.bn(x.reshape(B, H, W, R * R, C), p, s, train)
-    return y.reshape(B, H, W, C4), ns
+def _bn_packed(ctx: BlockCtx, p, s, x, train, phases: int):
+    """BN over a packed tensor: aggregate statistics over the spatial
+    phases so semantics equal unpacked BN; running stats stay (C,)."""
+    C = x.shape[-1] // phases
+    y, ns = ctx.bn(x.reshape(x.shape[:-1] + (phases, C)), p, s, train)
+    return y.reshape(x.shape), ns
 
 
 def _conv_bn_packed(ctx, params, state, x, *, train, relu=True,
-                    mode="same", in_splits=None):
-    """Packed conv + BN + ReLU. mode: 'same' | 'down' | 'up'."""
+                    mode="same", in_splits=None, hpack=False):
+    """Packed conv + BN + ReLU. mode: 'same' | 'down' | 'up'.
+    hpack (2D only): input/output carry an extra H phase."""
     w = params["conv"]["w"]
+    dims = ctx.dims
+    P = 2 ** dims
     prec = _precision(ctx.compute_dtype)
     if mode == "same":
-        wp = (pack_weight_concat([w[:, :, a:b] for a, b in in_splits])
-              if in_splits else pack_weight_conv(w))
-        y = conv_packed(x, wp, padding="SAME",
+        wp = (pack_weight_concat([w[..., a:b, :] for a, b in in_splits], dims)
+              if in_splits else pack_weight_conv(w, dims))
+        if hpack:
+            wp = pack_weight_conv_h(wp)
+        y = conv_packed(x, wp, padding="SAME", dims=dims,
                         compute_dtype=ctx.compute_dtype, precision=prec)
-        y, ns = _bn_packed(ctx, params["bn"], state["bn"], y, train)
+        y, ns = _bn_packed(ctx, params["bn"], state["bn"], y, train,
+                           phases=2 * P if hpack else P)
     elif mode == "down":
-        y = conv_packed(x, pack_weight_down(w), padding=((0, 1), (0, 1)),
-                        compute_dtype=ctx.compute_dtype, precision=prec)
+        y = conv_packed(x, pack_weight_down(w, dims), padding=(0, 1),
+                        dims=dims, compute_dtype=ctx.compute_dtype,
+                        precision=prec)
         y, ns = ctx.bn(y, params["bn"], state["bn"], train)  # unpacked out
     elif mode == "up":
-        y = conv_packed(x, pack_weight_up(w), padding=((1, 0), (1, 0)),
-                        compute_dtype=ctx.compute_dtype, precision=prec)
-        y, ns = _bn_packed(ctx, params["bn"], state["bn"], y, train)
+        y = conv_packed(x, pack_weight_up(w, dims), padding=(1, 0),
+                        dims=dims, compute_dtype=ctx.compute_dtype,
+                        precision=prec)
+        y, ns = _bn_packed(ctx, params["bn"], state["bn"], y, train, phases=P)
     else:
         raise ValueError(mode)
     if relu:
@@ -71,17 +84,21 @@ def _conv_bn_packed(ctx, params, state, x, *, train, relu=True,
     return y, {"bn": ns}
 
 
-def _resblock_packed(ctx, params, state, x, *, train, in_splits=None):
+def _resblock_packed(ctx, params, state, x, *, train, in_splits=None,
+                     hpack=False):
     y, s1 = _conv_bn_packed(ctx, params["cb1"], state["cb1"], x, train=train,
-                            in_splits=in_splits)
+                            in_splits=in_splits, hpack=hpack)
     y, s2 = _conv_bn_packed(ctx, params["cb2"], state["cb2"], y, train=train,
-                            relu=False)
+                            relu=False, hpack=hpack)
     shortcut = x
     if "proj" in params:
         w = params["proj"]["w"]
-        wp = (pack_weight_concat([w[:, :, a:b] for a, b in in_splits])
-              if in_splits else pack_weight_conv(w))
-        shortcut = conv_packed(x, wp, padding="SAME",
+        wp = (pack_weight_concat([w[..., a:b, :] for a, b in in_splits],
+                                 ctx.dims)
+              if in_splits else pack_weight_conv(w, ctx.dims))
+        if hpack:
+            wp = pack_weight_conv_h(wp)
+        shortcut = conv_packed(x, wp, padding="SAME", dims=ctx.dims,
                                compute_dtype=ctx.compute_dtype,
                                precision=_precision(ctx.compute_dtype))
     y = jax.nn.relu(y + shortcut.astype(y.dtype))
@@ -97,37 +114,49 @@ def uresnet_apply_packed(
     train: bool,
     axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, State]:
-    """Forward with packed low-channel levels. 2D only; numerically equal to
+    """Forward with packed low-channel levels; numerically equal to
     `uresnet_apply` (up to f32 rounding in the relayout)."""
-    assert cfg.dims == 2, "packed path is 2D (3D packing lands separately)"
     from uresnet_tpu.models.uresnet import _ctx  # shared BlockCtx builder
 
+    dims = cfg.dims
+    P = 2 ** dims
     ctx = _ctx(cfg, axis_name)
     new_state: State = {}
 
     def packed_level(lvl: int) -> bool:
         return cfg.base_filters * (2 ** lvl) < cfg.pack_threshold
 
+    def hpack_level(lvl: int) -> bool:
+        # extra H phase (2D only) when the packed channel count still
+        # underfills the 128 MXU lanes. Bench-gated via cfg.pack_extra_h
+        # (benchmarks/RESULTS.md: neutral at base16/512^2).
+        return (cfg.pack_extra_h and dims == 2 and packed_level(lvl)
+                and P * cfg.base_filters * (2 ** lvl) <= 64)
+
     def level(fn):
         return jax.checkpoint(fn) if cfg.remat else fn
 
-    def run_blocks(prefix, h, packed, first_in_splits=None):
+    def run_blocks(prefix, h, packed, first_in_splits=None, hpack=False):
         sub = {}
+        if hpack:
+            h = s2d_h(h)
         for b in range(cfg.blocks_per_level):
             name = f"{prefix}_b{b}"
             splits = first_in_splits if b == 0 else None
             if packed:
                 h, sub[name] = _resblock_packed(ctx, params[name], state[name],
                                                 h, train=train,
-                                                in_splits=splits)
+                                                in_splits=splits, hpack=hpack)
             else:
                 h, sub[name] = resblock_apply(ctx, params[name], state[name],
                                               h, train=train)
+        if hpack:
+            h = d2s_h(h)
         return h, sub
 
     # stem
     if packed_level(0):
-        h = space_to_depth(x)
+        h = space_to_depth(x, dims=dims)
         h, s = _conv_bn_packed(ctx, params["stem"], state["stem"], h,
                                train=train)
     else:
@@ -141,8 +170,8 @@ def uresnet_apply_packed(
 
         def enc(h, lvl=lvl, pk=pk):
             if pk and not (lvl == 0 and packed_level(0)):
-                h = space_to_depth(h)
-            h, sub = run_blocks(f"enc{lvl}", h, pk)
+                h = space_to_depth(h, dims=dims)
+            h, sub = run_blocks(f"enc{lvl}", h, pk, hpack=hpack_level(lvl))
             skip = h
             name = f"down{lvl}"
             if pk:
@@ -158,8 +187,6 @@ def uresnet_apply_packed(
         skips.append(skip)
         skips_packed.append(pk)
         new_state.update(sub)
-        # encoder level 0 packed output already consumed; next level input is
-        # unpacked by construction (packed-down emits unpacked).
 
     h, sub = level(lambda h: run_blocks("mid", h, False))(h)
     new_state.update(sub)
@@ -175,24 +202,25 @@ def uresnet_apply_packed(
                 h, s = _conv_bn_packed(ctx, params[name], state[name], h,
                                        train=train, mode="up")
                 sub[name] = s
-                skip_p = skip if skips_packed[lvl] else space_to_depth(skip)
+                skip_p = (skip if skips_packed[lvl]
+                          else space_to_depth(skip, dims=dims))
                 h = jnp.concatenate([h, skip_p.astype(h.dtype)], axis=-1)
                 splits = ((0, fl), (fl, 2 * fl))
                 h, bsub = run_blocks(f"dec{lvl}", h, True,
-                                     first_in_splits=splits)
+                                     first_in_splits=splits,
+                                     hpack=hpack_level(lvl))
                 if lvl != 0:
-                    h = depth_to_space(h)
+                    h = depth_to_space(h, dims=dims)
             else:
                 # Even at high channel counts the phase-decomposed upsample
-                # beats lax.conv_transpose: 2x2 packed conv + d2s does
-                # 16*Ci*Co*(S/2)^2 MACs vs the dilated conv's 36 — 2.25x
-                # fewer — and identical numerics (tests/test_pack.py).
+                # beats lax.conv_transpose: the packed 2^dims-tap conv + d2s
+                # does 2^dims/ (3/2)^dims fewer MACs than the lhs-dilated
+                # form and identical numerics (tests/test_pack.py).
                 w = params[name]["conv"]["w"]
-                y = conv_packed(h, pack_weight_up(w),
-                                padding=((1, 0), (1, 0)),
-                                compute_dtype=ctx.compute_dtype,
+                y = conv_packed(h, pack_weight_up(w, dims), padding=(1, 0),
+                                dims=dims, compute_dtype=ctx.compute_dtype,
                                 precision=_precision(ctx.compute_dtype))
-                h = depth_to_space(y)
+                h = depth_to_space(y, dims=dims)
                 h, s = ctx.bn(h, params[name]["bn"], state[name]["bn"], train)
                 h = jax.nn.relu(h)
                 sub[name] = {"bn": s}
@@ -205,15 +233,15 @@ def uresnet_apply_packed(
         new_state.update(sub)
 
     if packed_level(0):
-        wp = pack_weight_conv(params["head"]["w"])
-        logits = conv_packed(h, wp, padding="SAME",
+        wp = pack_weight_conv(params["head"]["w"], dims)
+        logits = conv_packed(h, wp, padding="SAME", dims=dims,
                              compute_dtype=ctx.compute_dtype,
                              precision=_precision(ctx.compute_dtype))
         if "b" in params["head"]:
             bias = params["head"]["b"]
-            logits = logits + jnp.tile(bias, R * R).astype(logits.dtype)
-        logits = depth_to_space(logits)
+            logits = logits + jnp.tile(bias, P).astype(logits.dtype)
+        logits = depth_to_space(logits, dims=dims)
     else:
-        logits = conv(h, params["head"], dims=2,
+        logits = conv(h, params["head"], dims=dims,
                       compute_dtype=ctx.compute_dtype)
     return logits.astype(jnp.float32), new_state

@@ -116,7 +116,7 @@ def uresnet_apply(
     With ``cfg.pack`` (2D), low-channel levels run in space-to-depth packed
     layout (models/packed.py) — numerically equivalent, much faster on TPU.
     """
-    if cfg.pack and cfg.dims == 2:
+    if cfg.pack:
         from uresnet_tpu.models.packed import uresnet_apply_packed
 
         return uresnet_apply_packed(params, state, x, cfg=cfg, train=train,
