@@ -223,12 +223,21 @@ struct urd_config {
   int32_t random_access;  // per-epoch shuffle (mt19937, own stream)
   uint64_t seed;
   int32_t num_batch_storage;
+  int32_t sparse;       // 1: emit padded sparse batches (device densify)
+  int32_t max_points;   // sparse pad length per image
 };
 
 struct urd_batch {
+  // dense mode
   const float* data;     // (batch, S^ndims) C-order
   const int32_t* label;  // (batch, S^ndims)
   const float* weight;   // (batch, S^ndims)
+  // sparse mode (device-side densify; uresnet_tpu/data/device_pipeline.py)
+  const int32_t* coords;   // (batch, max_points, ndims)
+  const float* values;     // (batch, max_points)
+  const int32_t* slabels;  // (batch, max_points)
+  const int32_t* npoints;  // (batch,)
+  const int32_t* shape;    // (batch, ndims)
   int64_t cursor;        // event cursor AFTER this batch (resume contract)
   int32_t slot;          // pass to urd_release when consumed
 };
@@ -246,6 +255,12 @@ struct urd_handle {
     std::vector<float> data;
     std::vector<int32_t> label;
     std::vector<float> weight;
+    // sparse mode
+    std::vector<int32_t> coords;
+    std::vector<float> values;
+    std::vector<int32_t> slabels;
+    std::vector<int32_t> npoints;
+    std::vector<int32_t> shape;
     int64_t cursor = 0;
     enum State { kFree, kFilling, kReady, kConsuming } state = kFree;
     uint64_t ticket = 0;
@@ -334,9 +349,18 @@ urd_handle* urd_open(const char** paths, int n_paths, const urd_config* cfg) {
   int64_t per_image = h->pix_per_image;
   for (size_t i = 0; i < h->slots.size(); ++i) {
     auto& s = h->slots[i];
-    s.data.resize((size_t)cfg->batch_size * per_image);
-    s.label.resize((size_t)cfg->batch_size * per_image);
-    s.weight.resize((size_t)cfg->batch_size * per_image);
+    if (cfg->sparse) {
+      size_t P = (size_t)cfg->max_points;
+      s.coords.resize((size_t)cfg->batch_size * P * cfg->ndims);
+      s.values.resize((size_t)cfg->batch_size * P);
+      s.slabels.resize((size_t)cfg->batch_size * P);
+      s.npoints.resize((size_t)cfg->batch_size);
+      s.shape.resize((size_t)cfg->batch_size * cfg->ndims);
+    } else {
+      s.data.resize((size_t)cfg->batch_size * per_image);
+      s.label.resize((size_t)cfg->batch_size * per_image);
+      s.weight.resize((size_t)cfg->batch_size * per_image);
+    }
     s.expected = i;  // ticket i is the first to fill slot i
   }
   return h;
@@ -421,9 +445,28 @@ static void fill_worker(urd_handle* h) {
           break;
         }
         size_t img = (size_t)e * h->cfg.n_planes + p;
-        densify_plane(*pl, dc, slot->data.data() + img * h->pix_per_image,
-                      slot->label.data() + img * h->pix_per_image,
-                      slot->weight.data() + img * h->pix_per_image);
+        if (h->cfg.sparse) {
+          size_t P = (size_t)h->cfg.max_points;
+          int nd = h->cfg.ndims;
+          size_t n = pl->values.size();
+          if (n > P) n = P;
+          int32_t* cdst = slot->coords.data() + img * P * nd;
+          float* vdst = slot->values.data() + img * P;
+          int32_t* ldst = slot->slabels.data() + img * P;
+          std::memset(cdst, 0, P * nd * sizeof(int32_t));
+          std::memset(vdst, 0, P * sizeof(float));
+          std::memset(ldst, 0, P * sizeof(int32_t));
+          std::memcpy(cdst, pl->coords.data(), n * nd * sizeof(int32_t));
+          std::memcpy(vdst, pl->values.data(), n * sizeof(float));
+          for (size_t i = 0; i < n; ++i) ldst[i] = pl->labels[i];
+          slot->npoints[img] = (int32_t)n;
+          for (int d = 0; d < nd; ++d)
+            slot->shape[img * nd + d] = (int32_t)pl->shape[d];
+        } else {
+          densify_plane(*pl, dc, slot->data.data() + img * h->pix_per_image,
+                        slot->label.data() + img * h->pix_per_image,
+                        slot->weight.data() + img * h->pix_per_image);
+        }
       }
     }
 
@@ -464,9 +507,25 @@ int urd_next(urd_handle* h, urd_batch* out) {
   }
   slot->state = urd_handle::Slot::kConsuming;
   h->next_consume_ticket++;
-  out->data = slot->data.data();
-  out->label = slot->label.data();
-  out->weight = slot->weight.data();
+  if (h->cfg.sparse) {
+    out->coords = slot->coords.data();
+    out->values = slot->values.data();
+    out->slabels = slot->slabels.data();
+    out->npoints = slot->npoints.data();
+    out->shape = slot->shape.data();
+    out->data = nullptr;
+    out->label = nullptr;
+    out->weight = nullptr;
+  } else {
+    out->data = slot->data.data();
+    out->label = slot->label.data();
+    out->weight = slot->weight.data();
+    out->coords = nullptr;
+    out->values = nullptr;
+    out->slabels = nullptr;
+    out->npoints = nullptr;
+    out->shape = nullptr;
+  }
   out->cursor = slot->cursor;
   out->slot = (int32_t)(want % h->slots.size());
   return out->slot;

@@ -26,11 +26,18 @@ struct urd_config {
   int32_t random_access;
   uint64_t seed;
   int32_t num_batch_storage;
+  int32_t sparse;
+  int32_t max_points;
 };
 struct urd_batch {
   const float* data;
   const int32_t* label;
   const float* weight;
+  const int32_t* coords;
+  const float* values;
+  const int32_t* slabels;
+  const int32_t* npoints;
+  const int32_t* shape;
   int64_t cursor;
   int32_t slot;
 };
@@ -146,7 +153,41 @@ int main() {
   for (auto& batch : c)
     for (float v : batch) assert(v == v);  // no NaNs
 
-  printf("selftest OK (%zu batches, deterministic across thread counts)\n",
-         a.size());
+  // sparse mode: points round-trip with correct npoints
+  {
+    urd_config cfg{};
+    cfg.image_size = 32;
+    cfg.ndims = 2;
+    cfg.batch_size = 2;
+    cfg.num_class = 3;
+    cfg.n_planes = 1;
+    cfg.planes[0] = 0;
+    cfg.random_access = 0;
+    cfg.num_batch_storage = 2;
+    cfg.sparse = 1;
+    cfg.max_points = 64;
+    const char* paths[1] = {path.c_str()};
+    urd_handle* h = urd_open(paths, 1, &cfg);
+    assert(h);
+    urd_start(h, 2);
+    urd_batch b{};
+    int slot = urd_next(h, &b);
+    assert(slot >= 0 && b.coords && b.npoints && !b.data);
+    // event 0 has 10 points, event 1 has 11
+    assert(b.npoints[0] == 10 && b.npoints[1] == 11);
+    assert(b.shape[0] == 64 && b.shape[1] == 64);
+    for (int i = 0; i < b.npoints[0]; ++i) {
+      assert(b.coords[i * 2] >= 0 && b.coords[i * 2] < 64);
+      assert(b.slabels[i] == 1 + (i % 2));
+    }
+    // padding zeroed
+    assert(b.values[b.npoints[0]] == 0.0f);
+    urd_release(h, slot);
+    urd_stop(h);
+    urd_close(h);
+  }
+
+  printf("selftest OK (%zu batches, deterministic across thread counts; "
+         "sparse mode OK)\n", a.size());
   return 0;
 }

@@ -26,7 +26,8 @@ def usef_file(tmp_path_factory):
 def _cfg(path, **kw):
     base = dict(image_size=64, batch_size=4, planes=(0, 1),
                 input_files=(path,), synthetic=False, random_access=False,
-                weight_mode="class_balance", num_batch_storage=3)
+                weight_mode="class_balance", num_batch_storage=3,
+                transfer="dense")
     base.update(kw)
     return DataConfig(**base)
 
@@ -63,6 +64,18 @@ def test_cxx_deterministic_across_threads(usef_file):
         cx.stop(); cx.close()
     for a, b in zip(*outs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_cxx_sparse_matches_python(usef_file):
+    cfg = _cfg(usef_file, transfer="sparse", max_points=2048)
+    py = BatchLoader(cfg, num_class=3)
+    cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(2)
+    for _ in range(4):
+        a = py.next()
+        b = cx.next()
+        for k in ("coords", "values", "labels", "npoints", "shape"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    cx.stop(); cx.close()
 
 
 def test_cxx_seek_resume(usef_file):

@@ -97,7 +97,7 @@ def test_loader_sync_and_threaded(tmp_path, rng):
                          shape=(128, 128), planes=(0,))
     cfg = DataConfig(image_size=64, batch_size=4, planes=(0,),
                      input_files=(path,), synthetic=False, num_threads=2,
-                     seed=3)
+                     seed=3, transfer="dense")
     loader = BatchLoader(cfg, num_class=3)
     b = loader.next()  # sync path
     assert b["data"].shape == (4, 64, 64, 1)
@@ -111,7 +111,8 @@ def test_loader_cursor_seek_deterministic(tmp_path):
     path = generate_file(str(tmp_path / "s.usef"), 8, seed=1,
                          shape=(128, 128), planes=(0,))
     cfg = DataConfig(image_size=64, batch_size=2, planes=(0,),
-                     input_files=(path,), synthetic=False, random_access=False)
+                     input_files=(path,), synthetic=False,
+                     random_access=False, transfer="dense")
     a = BatchLoader(cfg, num_class=3)
     _ = a.next()
     b1 = a.next()

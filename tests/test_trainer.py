@@ -161,6 +161,36 @@ def test_fit_3d_end_to_end(tmp_path):
     assert np.isfinite(metrics["loss"])
 
 
+def test_spatial_dp_equals_single_device(tmp_path):
+    """(data=2, spatial=4) mesh: H sharded over 'spatial', batch over
+    'data'; GSPMD inserts conv halo exchanges — loss/grads must equal the
+    single-device run (SURVEY.md §2.3 CP analog)."""
+    cfg = tiny_config(tmp_path)
+    cfg.data.batch_size = 4
+    batch = fixed_batch(jax.random.PRNGKey(7), cfg)
+
+    results = []
+    for mesh in (make_mesh(1), make_mesh(2, 4)):
+        tr = Trainer(cfg, mesh=mesh)
+        ts = tr.init_state()
+        grad_fn = jax.jit(
+            lambda p, s, b: jax.value_and_grad(tr._loss_fn, has_aux=True)(
+                p, s, b, True),
+            in_shardings=(tr._rep, tr._rep, tr._bsh),
+            out_shardings=tr._rep)
+        (loss, (_, mstate)), grads = grad_fn(ts.params, ts.model_state,
+                                             batch)
+        results.append((float(loss), jax.device_get(grads),
+                        jax.device_get(mstate)))
+
+    (l1, g1, s1), (l2, g2, s2) = results
+    assert np.allclose(l1, l2, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=2e-3)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
 def test_eval_step_and_forward(tmp_path):
     cfg = tiny_config(tmp_path)
     tr = Trainer(cfg, mesh=make_mesh(1))

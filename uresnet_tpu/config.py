@@ -74,6 +74,9 @@ class DataConfig:
     prefetch_depth: int = 2          # device-side double buffering
     augment: bool = False            # device-side random flips/rot90 (train)
     backend: str = "auto"            # host decoder: 'python'|'cxx'|'auto'
+    transfer: str = "sparse"         # 'sparse' (densify on device — ~50x
+                                     # less host->device traffic) | 'dense'
+    max_points: int = 4096           # sparse-mode pad length per image
 
 
 @dataclass
@@ -106,13 +109,14 @@ class TrainConfig:
 
 @dataclass
 class ParallelConfig:
-    """Mesh axes (SURVEY.md §2.3/§2.4). data = DP allreduce over ICI;
-    spatial = halo-exchange spatial partitioning (conv-net CP analog);
-    model = channel-sharded TP hook."""
+    """Mesh extents (SURVEY.md §2.3/§2.4). data = DP allreduce over ICI;
+    spatial = spatial partitioning of H (conv-net CP analog — GSPMD inserts
+    the halo exchanges); model = channel-sharded TP hook (parallel/tp.py).
+    data=0 means "all remaining devices"."""
 
-    data_axis: int = 0               # 0 => use all devices on the data axis
-    spatial_axis: int = 1
-    model_axis: int = 1
+    data: int = 0
+    spatial: int = 1
+    model: int = 1
     cross_replica_bn: bool = True    # global-batch BN stats under pjit
 
 

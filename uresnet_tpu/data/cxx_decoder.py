@@ -44,6 +44,8 @@ class _UrdConfig(C.Structure):
         ("random_access", C.c_int32),
         ("seed", C.c_uint64),
         ("num_batch_storage", C.c_int32),
+        ("sparse", C.c_int32),
+        ("max_points", C.c_int32),
     ]
 
 
@@ -52,6 +54,11 @@ class _UrdBatch(C.Structure):
         ("data", C.POINTER(C.c_float)),
         ("label", C.POINTER(C.c_int32)),
         ("weight", C.POINTER(C.c_float)),
+        ("coords", C.POINTER(C.c_int32)),
+        ("values", C.POINTER(C.c_float)),
+        ("slabels", C.POINTER(C.c_int32)),
+        ("npoints", C.POINTER(C.c_int32)),
+        ("shape", C.POINTER(C.c_int32)),
         ("cursor", C.c_int64),
         ("slot", C.c_int32),
     ]
@@ -127,7 +134,10 @@ class CxxBatchLoader:
             random_access=1 if (cfg.random_access and train) else 0,
             seed=cfg.seed,
             num_batch_storage=cfg.num_batch_storage,
+            sparse=1 if cfg.transfer == "sparse" else 0,
+            max_points=cfg.max_points,
         )
+        self._sparse = cfg.transfer == "sparse"
         for i, p in enumerate(cfg.planes):
             c.planes[i] = p
         arr = (C.c_char_p * len(paths))(*[p.encode() for p in paths])
@@ -152,16 +162,32 @@ class CxxBatchLoader:
         slot = self._lib.urd_next(self._h, C.byref(b))
         if slot < 0:
             raise RuntimeError(self._lib.urd_last_error().decode())
-        n = int(np.prod(self._shape))
-        data = np.ctypeslib.as_array(b.data, (n,)).reshape(self._shape)
-        label = np.ctypeslib.as_array(b.label, (n,)).reshape(self._shape)
-        weight = np.ctypeslib.as_array(b.weight, (n,)).reshape(self._shape)
-        out = {
-            "data": (data.copy() if copy else data)[..., None],
-            "label": label.copy() if copy else label,
-            "weight": weight.copy() if copy else weight,
-            "cursor": np.int64(b.cursor),
-        }
+        B = self.cfg.batch_size
+        if self._sparse:
+            P, nd = self.cfg.max_points, self.ndims
+            arr = lambda ptr, shape: np.ctypeslib.as_array(
+                ptr, (int(np.prod(shape)),)).reshape(shape)
+            out = {
+                "coords": arr(b.coords, (B, P, nd)),
+                "values": arr(b.values, (B, P)),
+                "labels": arr(b.slabels, (B, P)),
+                "npoints": arr(b.npoints, (B,)),
+                "shape": arr(b.shape, (B, nd)),
+            }
+            if copy:
+                out = {k: v.copy() for k, v in out.items()}
+            out["cursor"] = np.int64(b.cursor)
+        else:
+            n = int(np.prod(self._shape))
+            data = np.ctypeslib.as_array(b.data, (n,)).reshape(self._shape)
+            label = np.ctypeslib.as_array(b.label, (n,)).reshape(self._shape)
+            weight = np.ctypeslib.as_array(b.weight, (n,)).reshape(self._shape)
+            out = {
+                "data": (data.copy() if copy else data)[..., None],
+                "label": label.copy() if copy else label,
+                "weight": weight.copy() if copy else weight,
+                "cursor": np.int64(b.cursor),
+            }
         if copy:
             self._lib.urd_release(self._h, slot)
         else:

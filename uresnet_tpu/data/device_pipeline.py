@@ -1,0 +1,106 @@
+"""On-device dense-ification: padded sparse events -> model-ready batches,
+inside jit.
+
+BASELINE.json north_star: "the larcv-style data path (image2d decode,
+crop/pad to power-of-two, pixel-value normalization, label/weight-map
+construction) moves ON-DEVICE with host-side double-buffered prefetch".
+Measured motivation (benchmarks/RESULTS.md): a dense 512^2 x batch-32 batch
+is ~100 MB of host->device traffic per step, which starves the device
+through the relay; the padded sparse form is ~2 MB (LArTPC images are ~99%
+empty, SURVEY.md §2.1).
+
+The host (C++ decoder or Python loader in sparse mode) ships per batch:
+    coords  (B, P, dims) int32   event pixel coordinates (padded)
+    values  (B, P)       float32 charge
+    labels  (B, P)       int32
+    npoints (B,)         int32   valid prefix length
+    shape   (B, dims)    int32   source detector image extent
+and this module reproduces `uresnet_tpu.data.pipeline.densify_plane`
+EXACTLY on device (tested bit-level in tests/test_device_pipeline.py):
+centroid crop with half-up rounding and window clamping, normalization with
+clipping, label map, and the configured weight map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "image_size", "num_class", "normalize_scale", "normalize_clip",
+    "weight_mode", "nonzero_boost"))
+def densify_on_device(
+    sparse: Dict[str, jax.Array],
+    *,
+    image_size: int,
+    num_class: int = 3,
+    normalize_scale: float = 0.01,
+    normalize_clip: float = 10.0,
+    weight_mode: str = "class_balance",
+    nonzero_boost: float = 1.0,
+) -> Dict[str, jax.Array]:
+    coords = sparse["coords"].astype(jnp.int32)      # (B, P, D)
+    values = sparse["values"].astype(jnp.float32)    # (B, P)
+    labels = sparse["labels"].astype(jnp.int32)      # (B, P)
+    npoints = sparse["npoints"].astype(jnp.int32)    # (B,)
+    shape = sparse["shape"].astype(jnp.int32)        # (B, D)
+    B, P, D = coords.shape
+    T = image_size
+
+    mask = (jnp.arange(P)[None, :] < npoints[:, None])           # (B, P)
+    n = jnp.maximum(npoints, 1).astype(jnp.float32)
+
+    # charge-centroid crop origin, clamped to the image (pipeline.py
+    # crop_or_pad_coords, incl. floor(x + 0.5) half-up rounding)
+    csum = jnp.sum(coords * mask[..., None], axis=1).astype(jnp.float32)
+    center = csum / n[:, None]                                    # (B, D)
+    center = jnp.where((npoints > 0)[:, None], center,
+                       shape.astype(jnp.float32) / 2.0)
+    lo = jnp.floor(center - T / 2.0 + 0.5).astype(jnp.int32)
+    hi = jnp.maximum(shape - T, 0)
+    origin = jnp.clip(lo, 0, hi)                                  # (B, D)
+
+    shifted = coords - origin[:, None, :]
+    in_win = jnp.all((shifted >= 0) & (shifted < T), axis=-1) & mask
+
+    # flatten window coords; out-of-window points -> T^D (dropped)
+    flat = jnp.zeros((B, P), jnp.int32)
+    for d in range(D):
+        flat = flat * T + jnp.clip(shifted[..., d], 0, T - 1)
+    npix = T ** D
+    flat = jnp.where(in_win, flat, npix)
+
+    vals = jnp.clip(values * normalize_scale, 0.0, normalize_clip)
+
+    def scatter_one(flat_i, vals_i, labs_i):
+        data = jnp.zeros((npix + 1,), jnp.float32).at[flat_i].set(
+            vals_i, mode="drop")
+        lab = jnp.zeros((npix + 1,), jnp.int32).at[flat_i].set(
+            labs_i, mode="drop")
+        return data[:npix], lab[:npix]
+
+    data, label = jax.vmap(scatter_one)(flat, vals, labels)
+    data = data.reshape((B,) + (T,) * D)
+    label = label.reshape((B,) + (T,) * D)
+
+    if weight_mode == "ones":
+        weight = jnp.ones_like(data)
+    elif weight_mode == "nonzero":
+        weight = jnp.where(data > 0, 1.0 + nonzero_boost, 1.0)
+    elif weight_mode == "class_balance":
+        flat_lab = label.reshape(B, -1)
+        one_hot = jax.nn.one_hot(flat_lab, num_class, dtype=jnp.float32)
+        counts = one_hot.sum(axis=1)                              # (B, C)
+        total = float(npix)
+        w_class = jnp.where(counts > 0, total / (num_class * counts), 0.0)
+        weight = jnp.take_along_axis(
+            w_class[:, None, :], flat_lab[..., None], axis=-1)[..., 0]
+        weight = weight.reshape(data.shape)
+    else:
+        raise ValueError(f"unknown weight mode {weight_mode!r}")
+
+    return {"data": data[..., None], "label": label, "weight": weight}

@@ -27,7 +27,7 @@ import numpy as np
 
 from uresnet_tpu.config import DataConfig
 from uresnet_tpu.data import events as ev
-from uresnet_tpu.data.pipeline import densify_batch
+from uresnet_tpu.data.pipeline import densify_batch, sparse_batch
 
 
 def resolve_input_files(cfg: DataConfig, ndims: int) -> list:
@@ -140,16 +140,21 @@ class BatchLoader:
         evs = []
         for fi, eis in by_file.items():
             evs.extend(ev.read_events(self._files[fi], eis))
-        batch = densify_batch(
-            evs,
-            image_size=self.cfg.image_size,
-            planes=self.cfg.planes,
-            normalize_scale=self.cfg.normalize_scale,
-            normalize_clip=self.cfg.normalize_clip,
-            weight_mode=self.cfg.weight_mode,
-            num_class=self.num_class,
-            nonzero_boost=self.cfg.weight_nonzero_boost,
-        )
+        if self.cfg.transfer == "sparse":
+            batch = sparse_batch(evs, planes=self.cfg.planes,
+                                 max_points=self.cfg.max_points,
+                                 ndims=self.ndims)
+        else:
+            batch = densify_batch(
+                evs,
+                image_size=self.cfg.image_size,
+                planes=self.cfg.planes,
+                normalize_scale=self.cfg.normalize_scale,
+                normalize_clip=self.cfg.normalize_clip,
+                weight_mode=self.cfg.weight_mode,
+                num_class=self.num_class,
+                nonzero_boost=self.cfg.weight_nonzero_boost,
+            )
         batch["cursor"] = np.int64(cursor)
         return batch
 
@@ -215,13 +220,19 @@ def device_prefetch(it: Iterator[dict], *, sharding=None, depth: int = 2):
     `jax.device_put` is async: enqueueing `depth` batches ahead overlaps
     host->device DMA with the current step (the rebuild's replacement for
     the reference's per-step feed_dict copy, SURVEY.md §3.1).
+
+    `sharding` may be a Sharding (applied to every array leaf) or a callable
+    ``key -> Sharding`` (per-leaf placement, e.g. sparse point lists only
+    shard the batch dim).
     """
     import jax
 
     def put(b):
         arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray) and v.ndim > 0}
         scalars = {k: v for k, v in b.items() if k not in arrays}
-        if sharding is not None:
+        if callable(sharding):
+            staged = {k: jax.device_put(v, sharding(k)) for k, v in arrays.items()}
+        elif sharding is not None:
             staged = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
         else:
             staged = {k: jax.device_put(v) for k, v in arrays.items()}

@@ -101,6 +101,41 @@ def densify_plane(
     return data, labels, weights
 
 
+def sparse_batch(
+    events: Sequence[SparseEvent],
+    *,
+    planes: Sequence[int],
+    max_points: int,
+    ndims: int = 2,
+) -> dict:
+    """Padded sparse batch for on-device dense-ification
+    (uresnet_tpu.data.device_pipeline): one row per event x plane with
+    coords/values/labels padded to `max_points` (overflow points dropped,
+    rarest-first would require a policy — we keep the first P)."""
+    B = len(events) * len(planes)
+    coords = np.zeros((B, max_points, ndims), np.int32)
+    values = np.zeros((B, max_points), np.float32)
+    labels = np.zeros((B, max_points), np.int32)
+    npoints = np.zeros((B,), np.int32)
+    shape = np.zeros((B, ndims), np.int32)
+    row = 0
+    for evt in events:
+        by_id = {p.plane_id: p for p in evt.planes}
+        for pid in planes:
+            pl = by_id.get(pid)
+            if pl is None:
+                raise KeyError(f"event missing plane {pid}")
+            n = min(len(pl.values), max_points)
+            coords[row, :n] = pl.coords[:n]
+            values[row, :n] = pl.values[:n]
+            labels[row, :n] = pl.labels[:n]
+            npoints[row] = n
+            shape[row] = pl.shape
+            row += 1
+    return {"coords": coords, "values": values, "labels": labels,
+            "npoints": npoints, "shape": shape}
+
+
 def densify_batch(
     events: Sequence[SparseEvent],
     *,

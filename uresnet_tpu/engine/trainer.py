@@ -47,12 +47,31 @@ class TrainState(NamedTuple):
 class Trainer:
     def __init__(self, cfg: Config, *, mesh=None):
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            mesh = make_mesh(n_data=cfg.parallel.data,
+                             n_spatial=max(1, cfg.parallel.spatial))
+        self.mesh = mesh
         self._rep = replicated_sharding(self.mesh)
-        self._bsh = batch_sharding(self.mesh)
+        # Batch arrays: dim 0 over 'data'; when the mesh has a spatial axis,
+        # also shard one spatial dim (H) — GSPMD partitions the convs and
+        # inserts the ICI halo exchanges itself (the conv-net CP analog,
+        # SURVEY.md §2.3; exactness vs single-device pinned in
+        # tests/test_trainer.py::test_spatial_dp_equals_single_device).
+        self._spatial_n = dict(zip(self.mesh.axis_names,
+                                   self.mesh.devices.shape)).get("spatial", 1)
+        self._bsh = batch_sharding(
+            self.mesh, spatial_dim=1 if self._spatial_n > 1 else None)
+        self._bsh_data_only = batch_sharding(self.mesh)
         self._compiled: Dict[str, Any] = {}
         self.loader: Optional[BatchLoader] = None
         self.val_loader: Optional[BatchLoader] = None
+
+    _IMAGE_KEYS = ("data", "label", "weight")
+
+    def _leaf_sharding(self, key: str):
+        """Dense image leaves shard (batch, H) over (data, spatial); sparse
+        point-list leaves (coords/values/npoints/shape) only shard batch."""
+        return self._bsh if key in self._IMAGE_KEYS else self._bsh_data_only
 
     # -- state ---------------------------------------------------------------
 
@@ -75,7 +94,28 @@ class Trainer:
             normalize=self.cfg.train.loss_normalize)
         return loss, (logits, new_mstate)
 
+    def _prepare(self, batch):
+        """Sparse-transfer batches are densified ON DEVICE inside the jitted
+        step (data/device_pipeline.py) — the host ships ~50x fewer bytes."""
+        if "coords" not in batch:
+            return batch
+        from uresnet_tpu.data.device_pipeline import densify_on_device
+
+        d = self.cfg.data
+        dense = densify_on_device(
+            batch, image_size=d.image_size,
+            num_class=self.cfg.model.num_class,
+            normalize_scale=d.normalize_scale,
+            normalize_clip=d.normalize_clip,
+            weight_mode=d.weight_mode,
+            nonzero_boost=d.weight_nonzero_boost)
+        if self._spatial_n > 1:
+            dense = jax.lax.with_sharding_constraint(
+                dense, jax.tree.map(lambda _: self._bsh, dense))
+        return dense
+
     def _train_step(self, ts: TrainState, batch) -> Tuple[TrainState, Dict]:
+        batch = self._prepare(batch)
         key, k_aug = jax.random.split(ts.key)
         if self.cfg.data.augment:
             batch = augment_batch(k_aug, batch, dims=self.cfg.model.dims)
@@ -90,6 +130,7 @@ class Trainer:
         return new_ts, metrics
 
     def _eval_step(self, ts: TrainState, batch) -> Dict:
+        batch = self._prepare(batch)
         loss, (logits, _) = self._loss_fn(ts.params, ts.model_state, batch, False)
         metrics = segmentation_metrics(
             logits, batch["label"], batch["data"],
@@ -110,7 +151,7 @@ class Trainer:
         if "train" not in self._compiled:
             self._compiled["train"] = jax.jit(
                 self._train_step,
-                in_shardings=(self._rep, self._bsh),
+                in_shardings=(self._rep, None),  # batch: per-leaf placement
                 out_shardings=(self._rep, self._rep),
                 donate_argnums=(0,),
             )
@@ -143,7 +184,7 @@ class Trainer:
         if "eval" not in self._compiled:
             self._compiled["eval"] = jax.jit(
                 self._eval_step,
-                in_shardings=(self._rep, self._bsh),
+                in_shardings=(self._rep, None),
                 out_shardings=self._rep,
             )
         return self._compiled["eval"]
@@ -161,7 +202,7 @@ class Trainer:
     # -- data -----------------------------------------------------------------
 
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
-        return {k: (jax.device_put(v, self._bsh)
+        return {k: (jax.device_put(v, self._leaf_sharding(k))
                     if isinstance(v, np.ndarray) and v.ndim > 0 else v)
                 for k, v in batch.items()}
 
@@ -212,7 +253,7 @@ class Trainer:
         logger = MetricsLogger(cfg.train.log_dir, name="train", echo=log)
         val_logger = MetricsLogger(cfg.train.log_dir, name="val", echo=log)
         last: Dict[str, float] = {}
-        it = device_prefetch(iter(loader), sharding=self._bsh,
+        it = device_prefetch(iter(loader), sharding=self._leaf_sharding,
                              depth=cfg.data.prefetch_depth)
         t_last = time.time()
         cursor_now = cursor
