@@ -142,18 +142,43 @@ void densify_plane(const SparsePlane& pl, const DenseConfig& cfg, float* data,
   std::memset(label, 0, npix * sizeof(int32_t));
 
   const size_t n = pl.values.size();
-  // charge centroid (numpy: coords.mean(axis=0) in float64)
+  // Crop policy (identical to uresnet_tpu/data/pipeline.py
+  // crop_or_pad_coords): charge-weighted centroid in double, clamped so the
+  // max-charge pixel stays inside the window, then clamped to the image.
   std::vector<double> center(nd);
+  bool have_anchor = false;
+  std::vector<int64_t> anchor(nd, 0);
   if (n) {
-    for (size_t i = 0; i < n; ++i)
-      for (int d = 0; d < nd; ++d) center[d] += pl.coords[i * nd + d];
-    for (int d = 0; d < nd; ++d) center[d] /= (double)n;
+    double vsum = 0.0;
+    size_t imax = 0;
+    for (size_t i = 0; i < n; ++i) {
+      vsum += pl.values[i];
+      if (pl.values[i] > pl.values[imax]) imax = i;
+    }
+    if (vsum > 0.0) {
+      for (size_t i = 0; i < n; ++i) {
+        double w = pl.values[i] / vsum;
+        for (int d = 0; d < nd; ++d) center[d] += w * pl.coords[i * nd + d];
+      }
+    } else {
+      imax = 0;
+      for (size_t i = 0; i < n; ++i)
+        for (int d = 0; d < nd; ++d) center[d] += pl.coords[i * nd + d];
+      for (int d = 0; d < nd; ++d) center[d] /= (double)n;
+    }
+    have_anchor = true;
+    for (int d = 0; d < nd; ++d) anchor[d] = pl.coords[imax * nd + d];
   } else {
     for (int d = 0; d < nd; ++d) center[d] = pl.shape[d] / 2.0;
   }
   std::vector<int64_t> origin(nd);
   for (int d = 0; d < nd; ++d) {
     int64_t lo = (int64_t)std::floor(center[d] - target / 2.0 + 0.5);
+    if (have_anchor) {
+      int64_t amin = anchor[d] - target + 1;
+      if (lo < amin) lo = amin;
+      if (lo > anchor[d]) lo = anchor[d];
+    }
     int64_t hi = (int64_t)pl.shape[d] > target ? (int64_t)pl.shape[d] - target : 0;
     if (lo < 0) lo = 0;
     if (lo > hi) lo = hi;

@@ -49,6 +49,30 @@ def test_adam_decreases_quadratic():
     assert int(opt.step) == 200
 
 
+def test_rmsprop_decreases_quadratic():
+    params = {"w": jnp.asarray([5.0, -3.0])}
+    opt = adam_init(params)
+    cfg = OptimConfig(optimizer="rmsprop", lr=0.05)
+    for _ in range(300):
+        grads = jax.grad(lambda p: jnp.sum(p["w"] ** 2))(params)
+        params, opt = adam_update(grads, opt, params, cfg)
+    assert float(jnp.abs(params["w"]).max()) < 0.1
+
+
+def test_checkpoint_retention(tmp_path):
+    from uresnet_tpu.engine.checkpoint import (latest_checkpoint,
+                                               save_checkpoint)
+
+    d = str(tmp_path / "ret")
+    for step in range(1, 9):
+        save_checkpoint(d, step, {"x": np.asarray([step])}, max_to_keep=3)
+    import os
+    kept = sorted(f for f in os.listdir(d) if f.endswith(".npz"))
+    assert kept == ["step_00000006.npz", "step_00000007.npz",
+                    "step_00000008.npz"]
+    assert latest_checkpoint(d).endswith("step_00000008.npz")
+
+
 def test_overfit_fixed_batch(tmp_path):
     cfg = tiny_config(tmp_path)
     tr = Trainer(cfg, mesh=make_mesh(1))

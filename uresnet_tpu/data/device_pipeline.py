@@ -52,17 +52,31 @@ def densify_on_device(
     T = image_size
 
     mask = (jnp.arange(P)[None, :] < npoints[:, None])           # (B, P)
-    n = jnp.maximum(npoints, 1).astype(jnp.float32)
 
-    # charge-centroid crop origin, clamped to the image (pipeline.py
-    # crop_or_pad_coords, incl. floor(x + 0.5) half-up rounding)
-    csum = jnp.sum(coords * mask[..., None], axis=1).astype(jnp.float32)
-    center = csum / n[:, None]                                    # (B, D)
+    # crop origin, identical to pipeline.crop_or_pad_coords: charge-weighted
+    # centroid (half-up rounding), clamped so the max-charge pixel stays in
+    # the window (an unweighted centroid can whiff between tracks), then to
+    # the image.
+    vmask = values * mask
+    vsum = jnp.sum(vmask, axis=1)                                 # (B,)
+    w = vmask / jnp.maximum(vsum, 1e-30)[:, None]
+    center_w = jnp.sum(coords.astype(jnp.float32) * w[..., None], axis=1)
+    n = jnp.maximum(npoints, 1).astype(jnp.float32)
+    center_u = (jnp.sum(coords * mask[..., None], axis=1).astype(jnp.float32)
+                / n[:, None])
+    center = jnp.where((vsum > 0)[:, None], center_w, center_u)
     center = jnp.where((npoints > 0)[:, None], center,
                        shape.astype(jnp.float32) / 2.0)
+    # anchor: coordinate of the max-charge point (first point if no charge)
+    amax = jnp.argmax(jnp.where(mask, values, -jnp.inf), axis=1)  # (B,)
+    anchor = jnp.take_along_axis(coords, amax[:, None, None], axis=1)[:, 0]
     lo = jnp.floor(center - T / 2.0 + 0.5).astype(jnp.int32)
+    lo = jnp.clip(lo, anchor - T + 1, anchor)
     hi = jnp.maximum(shape - T, 0)
-    origin = jnp.clip(lo, 0, hi)                                  # (B, D)
+    origin = jnp.where((npoints > 0)[:, None], jnp.clip(lo, 0, hi),
+                       jnp.clip(jnp.floor(
+                           shape.astype(jnp.float32) / 2.0 - T / 2.0 + 0.5
+                       ).astype(jnp.int32), 0, hi))               # (B, D)
 
     shifted = coords - origin[:, None, :]
     in_win = jnp.all((shifted >= 0) & (shifted < T), axis=-1) & mask

@@ -27,20 +27,34 @@ from uresnet_tpu.data.events import SparseEvent, SparsePlane
 
 def crop_or_pad_coords(
     coords: np.ndarray, src_shape: Sequence[int], target: int,
-    center: Sequence[float] | None = None,
+    values: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Shift coords so a `target`^ndims window (centered on the charge
-    centroid, clamped to the image) maps to [0, target); returns
-    (shifted_coords, in_window_mask)."""
+    """Shift coords so a `target`^ndims window maps to [0, target); returns
+    (shifted_coords, in_window_mask).
+
+    Window policy (identical in the device and C++ implementations): center
+    on the CHARGE-WEIGHTED centroid, then clamp so the max-charge pixel is
+    always inside (an unweighted centroid can land in dead space between
+    tracks and produce an EMPTY crop), then clamp to the image."""
     ndims = coords.shape[1]
-    if center is None:
-        center = coords.mean(axis=0) if len(coords) else np.array(
-            [s / 2 for s in src_shape])
+    n = len(coords)
+    if n and values is not None and values.sum() > 0:
+        w = values.astype(np.float64) / values.sum()
+        center = (coords * w[:, None]).sum(axis=0)
+        anchor = coords[int(np.argmax(values))]
+    elif n:
+        center = coords.mean(axis=0)
+        anchor = coords[0]
+    else:
+        center = np.array([s / 2 for s in src_shape])
+        anchor = None
     origin = np.empty(ndims, np.int64)
     for d in range(ndims):
         # floor(x + 0.5): deterministic half-up rounding, reproduced exactly
         # by the C++ decoder (std::floor), unlike Python's banker's round().
         lo = int(np.floor(center[d] - target / 2 + 0.5))
+        if anchor is not None:
+            lo = max(int(anchor[d]) - target + 1, min(lo, int(anchor[d])))
         lo = max(0, min(lo, max(src_shape[d] - target, 0)))
         origin[d] = lo
     shifted = coords.astype(np.int64) - origin[None, :]
@@ -89,7 +103,8 @@ def densify_plane(
     out_shape = (image_size,) * ndims
     data = np.zeros(out_shape, np.float32)
     labels = np.zeros(out_shape, np.int32)
-    coords, mask = crop_or_pad_coords(plane.coords, plane.shape, image_size)
+    coords, mask = crop_or_pad_coords(plane.coords, plane.shape, image_size,
+                                      values=plane.values)
     coords = coords[mask]
     vals = plane.values[mask]
     labs = plane.labels[mask]

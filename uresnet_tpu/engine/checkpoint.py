@@ -37,7 +37,8 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def save_checkpoint(directory: str, step: int, tree: Any) -> str:
+def save_checkpoint(directory: str, step: int, tree: Any,
+                    max_to_keep: int = 5) -> str:
     os.makedirs(directory, exist_ok=True)
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
     arrays = {}
@@ -52,6 +53,14 @@ def save_checkpoint(directory: str, step: int, tree: Any) -> str:
         f.write(os.path.basename(final))
     os.replace(os.path.join(directory, "LATEST.tmp"),
                os.path.join(directory, "LATEST"))
+    if max_to_keep and max_to_keep > 0:
+        cands = sorted(f for f in os.listdir(directory)
+                       if re.fullmatch(r"step_\d+\.npz", f))
+        for old in cands[:-max_to_keep]:
+            try:
+                os.remove(os.path.join(directory, old))
+            except OSError:
+                pass
     return final
 
 

@@ -66,7 +66,9 @@ def adam_update(
     params: Any,
     cfg: OptimConfig,
 ) -> Tuple[Any, AdamState]:
-    """Returns (new_params, new_state). Pure; safe under jit/pjit."""
+    """Adam or RMSProp update (cfg.optimizer; SURVEY.md §2.1 notes the
+    reference's optimizer is Adam [K:low — could be RMSProp], so both ship).
+    Returns (new_params, new_state). Pure; safe under jit/pjit."""
     step = opt_state.step + 1
     sched = make_schedule(cfg)
     lr = sched(step)
@@ -77,6 +79,24 @@ def adam_update(
         grads = jax.tree.map(lambda g: g * scale, grads)
 
     b1, b2, eps = cfg.b1, cfg.b2, cfg.eps
+
+    if cfg.optimizer == "rmsprop":
+        # TF1 RMSPropOptimizer semantics: decay=b2, no momentum term
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * jnp.square(g),
+                          opt_state.nu, grads)
+
+        def upd_rms(p, g, v):
+            u = g / (jnp.sqrt(v) + eps)
+            if cfg.weight_decay > 0:
+                u = u + cfg.weight_decay * p
+            return (p - lr * u).astype(p.dtype)
+
+        new_params = jax.tree.map(upd_rms, params, grads, nu)
+        return new_params, AdamState(step=step, mu=opt_state.mu, nu=nu)
+
+    if cfg.optimizer != "adam":
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
     mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, opt_state.mu, grads)
     nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * jnp.square(g),
                       opt_state.nu, grads)
