@@ -28,7 +28,11 @@ def main(argv=None):
                    help="evaluate metrics on the configured dataset instead")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
                    help="force a JAX platform")
-    args = p.parse_args(argv)
+    args, extra = p.parse_known_args(argv)
+    for tok in extra:
+        if "=" not in tok or tok.startswith("-"):
+            p.error(f"unrecognized argument: {tok}")
+        args.overrides.append(tok)
 
     import jax
     if args.platform:

@@ -33,7 +33,14 @@ def main(argv=None):
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the first "
                         "summary window into DIR")
-    args = p.parse_args(argv)
+    # parse_known_args: argparse cannot interleave positional KEY=value
+    # overrides with optional flags; anything unknown of the form KEY=value
+    # is an override, anything else is an error.
+    args, extra = p.parse_known_args(argv)
+    for tok in extra:
+        if "=" not in tok or tok.startswith("-"):
+            p.error(f"unrecognized argument: {tok}")
+        args.overrides.append(tok)
 
     import jax
     if args.platform:
