@@ -1,0 +1,80 @@
+"""Capture a jax.profiler trace of the train step and print the top device
+ops with their source attribution (the tool that found the take_along_axis
+gather costing 30% of the step — benchmarks/RESULTS.md).
+
+Run on the TPU:  python benchmarks/profile_step.py [--size 512] [--batch 32]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--outdir", default="/tmp/uresnet_profile")
+    args = p.parse_args()
+
+    from uresnet_tpu.config import Config, DataConfig, ModelConfig
+    from uresnet_tpu.engine.trainer import Trainer
+    from uresnet_tpu.parallel.mesh import make_mesh
+
+    cfg = Config(
+        model=ModelConfig(base_filters=16, depth=5,
+                          compute_dtype="bfloat16", pack=True),
+        data=DataConfig(image_size=args.size, batch_size=args.batch))
+    tr = Trainer(cfg, mesh=make_mesh())
+    ts = tr.init_state()
+    rng = np.random.default_rng(0)
+    S, B = args.size, args.batch
+    batch = tr._device_batch({
+        "data": rng.random((B, S, S, 1), np.float32).astype(np.float32),
+        "label": rng.integers(0, 3, (B, S, S)).astype(np.int32),
+        "weight": np.ones((B, S, S), np.float32)})
+    ts, m = tr.train_step(ts, batch)
+    float(m["loss"])  # compile + sync
+
+    jax.profiler.start_trace(args.outdir)
+    for _ in range(args.steps):
+        ts, m = tr.train_step(ts, batch)
+    float(m["loss"])
+    jax.profiler.stop_trace()
+
+    traces = sorted(glob.glob(os.path.join(
+        args.outdir, "plugins/profile/*/*.trace.json.gz")))
+    with gzip.open(traces[-1]) as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tot, cnt = collections.Counter(), collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e:
+            if "TPU" in pids.get(e.get("pid"), ""):
+                name = e.get("name", "?")
+                tot[name] += e["dur"]
+                cnt[name] += 1
+    print(f"top {args.top} device ops over {args.steps} steps:")
+    for name, dur in tot.most_common(args.top):
+        print(f"{dur/1e3/args.steps:9.2f} ms/step {cnt[name]//args.steps:4d}x "
+              f"{name[:70]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -111,8 +111,9 @@ def densify_on_device(
         counts = one_hot.sum(axis=1)                              # (B, C)
         total = float(npix)
         w_class = jnp.where(counts > 0, total / (num_class * counts), 0.0)
-        weight = jnp.take_along_axis(
-            w_class[:, None, :], flat_lab[..., None], axis=-1)[..., 0]
+        # one-hot contraction, not take_along_axis (gather is scalar-slow
+        # on TPU — see engine/losses.py)
+        weight = jnp.einsum("bpc,bc->bp", one_hot, w_class)
         weight = weight.reshape(data.shape)
     else:
         raise ValueError(f"unknown weight mode {weight_mode!r}")

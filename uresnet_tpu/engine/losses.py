@@ -22,9 +22,14 @@ def weighted_softmax_xent(
 ) -> jax.Array:
     logits = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
-    true_logit = jnp.take_along_axis(
-        logits, labels[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    # one-hot multiply-sum, NOT take_along_axis: the gather lowers to a
+    # scalar-indexed op that measured 128 ms/step at (32,512,512,3) on v5e
+    # (30% of the whole train step); the one-hot contraction is a fused
+    # vectorized pass (num_class is small).
+    num_class = logits.shape[-1]
+    one_hot = jax.nn.one_hot(labels.astype(jnp.int32), num_class,
+                             dtype=logits.dtype)
+    true_logit = jnp.sum(logits * one_hot, axis=-1)
     xent = logz - true_logit
     w = weights.astype(jnp.float32)
     if normalize == "mean":

@@ -7,7 +7,7 @@ same FLOPs at 64+ channels run at 30-120 TF/s. Packing r x r spatial phases
 into channels (512^2 x C -> 256^2 x 4C in 2D; 192^3 x C -> 96^3 x 8C in 3D)
 moves the low-channel levels into the efficient regime — and in 3D also
 avoids pathological XLA tile-padding blowups on tiny-minor-dim gradient
-tensors. The transform is EXACT: packed kernels are a pure gather of the
+tensors. The transform is EXACT: packed kernels are a pure linear relabeling of the
 canonical weights, so params/checkpoints stay in reference layout and tests
 pin equality (f32) of packed vs unpacked forward.
 
@@ -21,9 +21,10 @@ k=3 s=2 transpose conv becomes a packed k=2 conv with (1,0) padding emitting
 PACKED output. All verified against the lax reference ops in
 tests/test_pack.py (2D and 3D).
 
-Weight packing is ONE gather per kernel: the (index, mask) maps are static
-numpy arrays cached per shape, so tracing adds a single take+multiply per
-conv (a naive scatter of the same mapping blew up XLA compile time).
+Weight packing is a tiny einsum against static 0/1 per-dim tensors (see
+_einsum_pack): its forward AND backward are fused vectorized contractions.
+(History: a naive .at[].set scatter blew up XLA compile time; an
+index-gather form cost ~33 ms/step in gather + backward scatter-add.)
 """
 
 from __future__ import annotations
@@ -72,11 +73,40 @@ def depth_to_space(x: jax.Array, r: int = R, dims: int = 2) -> jax.Array:
     return x.reshape((B,) + tuple(s * r for s in Sp) + (C,))
 
 
-def _gather_pack(w: jax.Array, idx: np.ndarray, mask: np.ndarray) -> jax.Array:
-    flat = w.reshape(-1)
-    pw = jnp.take(flat, jnp.asarray(idx.reshape(-1)), axis=0)
-    pw = pw * jnp.asarray(mask.reshape(-1), w.dtype)
-    return pw.reshape(idx.shape)
+# Packing as an einsum against static 0/1 per-dim tensors T[A, p', p, dy]:
+#     pw[A,B,(u,v,i),(p,q,o)] = sum_{d,e} Ty[A,u,p,d] Tx[B,v,q,e] w[d,e,i,o]
+# Profiled motivation (benchmarks/RESULTS.md): the index-gather form lowers
+# to gather + scatter-add (backward) which together cost ~33 ms/step at
+# 512^2/b32 on v5e; the einsum form is a tiny fused contraction with an
+# einsum backward — no scatter.
+
+
+def _dim_T(kind: str, k: int) -> np.ndarray:
+    key = ("T", kind, k)
+    if key not in _MAP_CACHE:
+        kp, pi, po, dy, valid = _dim_tables(kind, k)
+        T = np.zeros((kp, pi, po, k), np.float32)
+        for A in range(kp):
+            for u in range(pi):
+                for p in range(po):
+                    if valid[A, u, p]:
+                        T[A, u, p, dy[A, u, p]] = 1.0
+        _MAP_CACHE[key] = (T, None)
+    return _MAP_CACHE[key][0]
+
+
+def _einsum_pack(w: jax.Array, kind: str, dims: int) -> jax.Array:
+    k = w.shape[0]
+    ci, co = w.shape[-2], w.shape[-1]
+    T = jnp.asarray(_dim_T(kind, k), w.dtype)
+    kp, pi, po = T.shape[0], T.shape[1], T.shape[2]
+    if dims == 2:
+        out = jnp.einsum("aupd,bvqe,deio->abuvipqo", T, T, w)
+    elif dims == 3:
+        out = jnp.einsum("aupd,bvqe,cwrf,defio->abcuvwipqro", T, T, T, w)
+    else:
+        raise ValueError(dims)
+    return out.reshape((kp,) * dims + (pi ** dims * ci, po ** dims * co))
 
 
 def _dim_tables(kind: str, k: int):
@@ -105,68 +135,21 @@ def _dim_tables(kind: str, k: int):
     return kp, pi, po, np.clip(dy, 0, k - 1), valid
 
 
-def _build_map(kind: str, k: int, ci: int, co: int, dims: int):
-    key = (kind, k, ci, co, dims)
-    if key in _MAP_CACHE:
-        return _MAP_CACHE[key]
-    kp, pi, po, dy, vy = _dim_tables(kind, k)
-
-    # full index space: (A_0..A_{D-1}, p'_0..p'_{D-1}, p_0..p_{D-1}, ci, co)
-    shape = (kp,) * dims + (pi,) * dims + (po,) * dims + (ci, co)
-    nd = len(shape)
-
-    def exp(arr_1d_dims, d):
-        """dy/valid table for dim d broadcast into the full shape."""
-        view = [1] * nd
-        view[d] = kp
-        view[dims + d] = pi
-        view[2 * dims + d] = po
-        return np.broadcast_to(arr_1d_dims.reshape(view[d], view[dims + d],
-                                                   view[2 * dims + d])
-                               .reshape(view), shape)
-
-    kidx = np.zeros(shape, np.int64)
-    valid = np.ones(shape, bool)
-    for d in range(dims):
-        kidx = kidx * k + exp(dy, d)
-        valid &= exp(vy.astype(np.int64), d).astype(bool)
-    cib = np.broadcast_to(
-        np.arange(ci).reshape([1] * (nd - 2) + [ci, 1]), shape)
-    cob = np.broadcast_to(np.arange(co).reshape([1] * (nd - 1) + [co]), shape)
-    idx = (kidx * ci + cib) * co + cob
-
-    # reorder to [(taps), (p' phases, ci), (p phases, co)]
-    perm = (list(range(dims)) + list(range(dims, 2 * dims)) + [nd - 2]
-            + list(range(2 * dims, 3 * dims)) + [nd - 1])
-    P_i, P_o = pi ** dims, po ** dims
-    idx = idx.transpose(perm).reshape((kp,) * dims + (P_i * ci, P_o * co))
-    mask = valid.transpose(perm).reshape(
-        (kp,) * dims + (P_i * ci, P_o * co)).astype(np.float32)
-    _MAP_CACHE[key] = (idx.astype(np.int32), mask)
-    return _MAP_CACHE[key]
-
-
 def pack_weight_conv(w: jax.Array, dims: int = 2) -> jax.Array:
     """(k..k, Ci, Co), k odd, stride-1 SAME -> packed (k..k, P*Ci, P*Co)."""
-    k, ci, co = w.shape[0], w.shape[-2], w.shape[-1]
-    idx, mask = _build_map("same", k, ci, co, dims)
-    return _gather_pack(w, idx, mask)
+    return _einsum_pack(w, "same", dims)
 
 
 def pack_weight_down(w: jax.Array, dims: int = 2) -> jax.Array:
     """k=3 stride-2 SAME (pad_lo=0) -> packed (2..2, P*Ci, Co); output
     UNPACKED on the packed grid. Use padding (0,1) per dim."""
-    k, ci, co = w.shape[0], w.shape[-2], w.shape[-1]
-    idx, mask = _build_map("down", k, ci, co, dims)
-    return _gather_pack(w, idx, mask)
+    return _einsum_pack(w, "down", dims)
 
 
 def pack_weight_up(w: jax.Array, dims: int = 2) -> jax.Array:
     """k=3 s=2 SAME transpose conv -> packed (2..2, Ci, P*Co); input
     UNPACKED (half-res), output PACKED. Use padding (1,0) per dim."""
-    k, ci, co = w.shape[0], w.shape[-2], w.shape[-1]
-    idx, mask = _build_map("up", k, ci, co, dims)
-    return _gather_pack(w, idx, mask)
+    return _einsum_pack(w, "up", dims)
 
 
 def pack_weight_concat(ws: Sequence[jax.Array], dims: int = 2) -> jax.Array:
@@ -203,31 +186,9 @@ def pack_weight_conv_h(w: jax.Array) -> jax.Array:
     (k,k,Ci,Co) -> (k,k,2Ci,2Co). Applies to already-packed kernels too
     (any stride-1 SAME conv), so it composes with pack_weight_conv."""
     k, kw, ci, co = w.shape
-    key = ("same_h", k, kw, ci, co)
-    if key not in _MAP_CACHE:
-        A = np.arange(k)[:, None, None]
-        pp = np.arange(2)[None, :, None]
-        p = np.arange(2)[None, None, :]
-        dy = 2 * (A - k // 2) + pp - p + k // 2       # (k, 2, 2)
-        vy = (dy >= 0) & (dy < k)
-        dyc = np.clip(dy, 0, k - 1)
-        shape = (k, kw, 2, 2, ci, co)
-        dyb = np.broadcast_to(dyc[:, None, :, :, None, None], shape)
-        vyb = np.broadcast_to(vy[:, None, :, :, None, None], shape)
-        dxb = np.broadcast_to(np.arange(kw)[None, :, None, None, None, None],
-                              shape)
-        cib = np.broadcast_to(np.arange(ci)[None, None, None, None, :, None],
-                              shape)
-        cob = np.broadcast_to(np.arange(co)[None, None, None, None, None, :],
-                              shape)
-        idx = ((dyb * kw + dxb) * ci + cib) * co + cob
-        # reorder to [A, dx, (p', ci), (p, co)]
-        idx = idx.transpose(0, 1, 2, 4, 3, 5).reshape(k, kw, 2 * ci, 2 * co)
-        mask = vyb.transpose(0, 1, 2, 4, 3, 5).reshape(
-            k, kw, 2 * ci, 2 * co).astype(np.float32)
-        _MAP_CACHE[key] = (idx.astype(np.int32), mask)
-    idx, mask = _MAP_CACHE[key]
-    return _gather_pack(w, idx, mask)
+    T = jnp.asarray(_dim_T("same", k), w.dtype)    # (k, 2, 2, k)
+    out = jnp.einsum("aupd,dxio->axuipo", T, w)
+    return out.reshape(k, kw, 2 * ci, 2 * co)
 
 
 # -- packed conv wrappers ----------------------------------------------------
