@@ -21,7 +21,7 @@ import os
 import queue
 import tempfile
 import threading
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 

@@ -12,14 +12,12 @@ evaluation (mIoU / accuracies) for the BASELINE parity gate.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np
 
-from uresnet_tpu.config import Config
 from uresnet_tpu.data import events as ev
-from uresnet_tpu.data.loader import BatchLoader
 from uresnet_tpu.data.pipeline import densify_batch
 from uresnet_tpu.engine.trainer import Trainer, TrainState
 

@@ -18,11 +18,9 @@ concatenated batch.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from uresnet_tpu.config import Config

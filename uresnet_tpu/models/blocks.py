@@ -13,7 +13,7 @@ Unified over 2D (NHWC) and 3D (NDHWC) via the ``dims`` knob.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

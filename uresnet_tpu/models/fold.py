@@ -14,7 +14,7 @@ Verified equal to the unfolded eval forward in tests/test_fold.py.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

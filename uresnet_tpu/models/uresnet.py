@@ -24,7 +24,6 @@ wraps each level in `jax.checkpoint` to trade FLOPs for HBM on 3D volumes
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

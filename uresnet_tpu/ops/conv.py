@@ -16,8 +16,6 @@ checkpoints, so TF's (k, k, out, in) layout is not mirrored).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax
