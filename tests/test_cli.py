@@ -1,0 +1,54 @@
+"""CLI argument-surface tests (no training): config resolution, override
+interleaving, error paths."""
+
+import subprocess
+import sys
+
+import pytest
+
+from uresnet_tpu.cli import infer as infer_cli
+from uresnet_tpu.cli import train as train_cli
+
+
+def test_train_rejects_unknown_flag_like_token(capsys):
+    with pytest.raises(SystemExit):
+        train_cli.main(["--platform", "cpu", "--bogus-flag"])
+
+
+def test_train_rejects_unknown_config_field():
+    with pytest.raises(KeyError):
+        train_cli.main(["--platform", "cpu", "bogus.field=1",
+                        "--iterations", "0"])
+
+
+def test_infer_missing_checkpoint_clean_error(tmp_path):
+    with pytest.raises(FileNotFoundError) as e:
+        infer_cli.main(["--platform", "cpu", "--metrics-only",
+                        f"train.checkpoint_dir={tmp_path}/none"])
+    assert "no checkpoint" in str(e.value)
+
+
+def test_train_zero_iterations_smoke(tmp_path):
+    """Full arg surface: config file + interleaved overrides + flags."""
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        "model: {depth: 2, base_filters: 4, compute_dtype: float32}\n"
+        "data: {image_size: 32, batch_size: 2, planes: [0], synthetic: true,"
+        " synthetic_events: 4, num_threads: 1}\n"
+        f"train: {{checkpoint_dir: {tmp_path}/ck, log_dir: {tmp_path}/lg,"
+        " summary_iter: 1, checkpoint_iter: 0, val_iter: 0}\n")
+    rc = train_cli.main([str(cfg), "--platform", "cpu", "optim.lr=1e-3",
+                         "--iterations", "1", "SEED=5", "parallel.data=1"])
+    assert rc == 0
+
+
+def test_trainer_clear_error_on_indivisible_batch(tmp_path):
+    """batch 2 on an 8-device data mesh must raise a clear message, not a
+    cryptic sharding error (found driving the CLI)."""
+    from uresnet_tpu.config import Config, DataConfig
+    from uresnet_tpu.engine.trainer import Trainer
+
+    cfg = Config(data=DataConfig(batch_size=2))
+    with pytest.raises(ValueError) as e:
+        Trainer(cfg)
+    assert "divisible" in str(e.value) and "parallel.data" in str(e.value)

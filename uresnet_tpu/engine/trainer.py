@@ -57,6 +57,14 @@ class Trainer:
         # tests/test_trainer.py::test_spatial_dp_equals_single_device).
         self._spatial_n = dict(zip(self.mesh.axis_names,
                                    self.mesh.devices.shape)).get("spatial", 1)
+        n_data = dict(zip(self.mesh.axis_names,
+                          self.mesh.devices.shape)).get("data", 1)
+        if cfg.data.batch_size % max(n_data, 1):
+            raise ValueError(
+                f"data.batch_size ({cfg.data.batch_size}) must be divisible "
+                f"by the mesh data-axis size ({n_data}); raise the batch "
+                f"size or set parallel.data to a divisor (e.g. "
+                f"parallel.data=1 for single-device runs)")
         self._bsh = batch_sharding(
             self.mesh, spatial_dim=1 if self._spatial_n > 1 else None)
         self._bsh_data_only = batch_sharding(self.mesh)
