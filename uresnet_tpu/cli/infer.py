@@ -13,7 +13,6 @@ import argparse
 from uresnet_tpu.config import Config, apply_overrides, load_config
 from uresnet_tpu.engine.evaluator import evaluate_dataset, run_inference
 from uresnet_tpu.engine.trainer import Trainer
-from uresnet_tpu.parallel.mesh import make_mesh
 
 
 def main(argv=None):
@@ -47,7 +46,7 @@ def main(argv=None):
     else:
         cfg = apply_overrides(Config(), overrides)
 
-    trainer = Trainer(cfg, mesh=make_mesh())
+    trainer = Trainer(cfg)  # mesh derived from cfg.parallel
     ts, step, _ = trainer.restore(args.checkpoint)
     print(f"restored step {step}", flush=True)
 

@@ -12,7 +12,6 @@ import argparse
 
 from uresnet_tpu.config import Config, apply_overrides, load_config
 from uresnet_tpu.engine.trainer import Trainer
-from uresnet_tpu.parallel.mesh import make_mesh
 
 
 def main(argv=None):
@@ -57,7 +56,7 @@ def main(argv=None):
     else:
         cfg = apply_overrides(Config(), overrides)
 
-    trainer = Trainer(cfg, mesh=make_mesh())
+    trainer = Trainer(cfg)  # mesh derived from cfg.parallel
     print(f"mesh: {trainer.mesh}", flush=True)
     if args.profile:
         from uresnet_tpu.engine.profiling import trace
