@@ -106,11 +106,13 @@ def main():
     # readback, (b) time N and 2N chained steps and take the median
     # difference — dispatch + readback overhead cancels, leaving pure
     # steady-state step time (validated against bf16 matmul peak ~200 TF/s).
+    step_fn = trainer.train_step_light  # production hot-loop step
+
     def run_chain(ts, k):
         t0 = time.perf_counter()
         m = None
         for _ in range(k):
-            ts, m = trainer.train_step(ts, dev_batch)
+            ts, m = step_fn(ts, dev_batch)
         float(m["loss"])  # host sync
         return time.perf_counter() - t0, ts
 

@@ -120,7 +120,8 @@ class Trainer:
                 dense, jax.tree.map(lambda _: self._bsh, dense))
         return dense
 
-    def _train_step(self, ts: TrainState, batch) -> Tuple[TrainState, Dict]:
+    def _train_step(self, ts: TrainState, batch,
+                    with_metrics: bool = True) -> Tuple[TrainState, Dict]:
         batch = self._prepare(batch)
         key, k_aug = jax.random.split(ts.key)
         if self.cfg.data.augment:
@@ -128,10 +129,13 @@ class Trainer:
         (loss, (logits, mstate)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(ts.params, ts.model_state, batch, True)
         params, opt = adam_update(grads, ts.opt, ts.params, self.cfg.optim)
-        metrics = segmentation_metrics(
-            logits, batch["label"], batch["data"],
-            num_class=self.cfg.model.num_class)
-        metrics["loss"] = loss
+        # metrics (argmax + per-class IoU passes over the full batch) are
+        # only read every summary_iter steps — the hot step skips them
+        metrics = {"loss": loss}
+        if with_metrics:
+            metrics.update(segmentation_metrics(
+                logits, batch["label"], batch["data"],
+                num_class=self.cfg.model.num_class))
         new_ts = TrainState(params=params, model_state=mstate, opt=opt, key=key)
         return new_ts, metrics
 
@@ -152,16 +156,28 @@ class Trainer:
 
     # -- compiled accessors ----------------------------------------------------
 
-    @property
-    def train_step(self):
-        if "train" not in self._compiled:
-            self._compiled["train"] = jax.jit(
-                self._train_step,
+    def _make_train_step(self, with_metrics: bool):
+        key = f"train_{with_metrics}"
+        if key not in self._compiled:
+            import functools
+
+            self._compiled[key] = jax.jit(
+                functools.partial(self._train_step,
+                                  with_metrics=with_metrics),
                 in_shardings=(self._rep, None),  # batch: per-leaf placement
                 out_shardings=(self._rep, self._rep),
                 donate_argnums=(0,),
             )
-        return self._compiled["train"]
+        return self._compiled[key]
+
+    @property
+    def train_step(self):
+        return self._make_train_step(True)
+
+    @property
+    def train_step_light(self):
+        """Metric-free hot-loop step (loss only in the metrics dict)."""
+        return self._make_train_step(False)
 
     def train_step_scan(self, k: int):
         """K chained train steps fused into ONE executable via lax.scan
@@ -172,7 +188,7 @@ class Trainer:
         if key not in self._compiled:
             def scan_fn(ts, batch):
                 def body(ts, _):
-                    return self._train_step(ts, batch)
+                    return self._train_step(ts, batch, with_metrics=False)
 
                 ts, ms = jax.lax.scan(body, ts, None, length=k)
                 return ts, jax.tree.map(lambda m: m[-1], ms)
@@ -267,8 +283,11 @@ class Trainer:
             for step in range(start_step + 1, start_step + iters + 1):
                 batch = next(it)
                 cursor_now = int(batch.pop("cursor", 0))
-                ts, metrics = self.train_step(ts, batch)
-                if step % cfg.train.summary_iter == 0 or step == start_step + iters:
+                summary = (step % cfg.train.summary_iter == 0
+                           or step == start_step + iters)
+                step_fn = self.train_step if summary else self.train_step_light
+                ts, metrics = step_fn(ts, batch)
+                if summary:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     dt = time.time() - t_last
                     n_img = cfg.data.batch_size * cfg.train.summary_iter
