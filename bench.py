@@ -154,8 +154,10 @@ def main():
         dt_scan = max(statistics.median(t2) - statistics.median(t1), 1e-9)
         per_step_scan = dt_scan / steps
     except Exception as e:  # noqa: BLE001 — e.g. scan executable OOM
+        import sys
+
         print(f"# scan mode unavailable ({type(e).__name__}); "
-              "using dispatched rate", flush=True)
+              "using dispatched rate", file=sys.stderr, flush=True)
 
     per_step = min(per_step_dispatched, per_step_scan)
     n_chips = len(jax.devices())

@@ -229,8 +229,15 @@ class Trainer:
                 for k, v in batch.items()}
 
     def make_loader(self, *, train: bool = True, start_event: int = 0):
+        dcfg = self.cfg.data
+        if not train and dcfg.synthetic and not dcfg.input_files:
+            # held-out synthetic validation: different generator seed, so
+            # val metrics are not measured on the training events
+            import dataclasses
+
+            dcfg = dataclasses.replace(dcfg, seed=dcfg.seed + 10007)
         return make_batch_loader(
-            self.cfg.data, num_class=self.cfg.model.num_class, train=train,
+            dcfg, num_class=self.cfg.model.num_class, train=train,
             ndims=self.cfg.model.dims, start_event=start_event)
 
     # -- checkpoint -----------------------------------------------------------
