@@ -1,0 +1,54 @@
+"""Device-side augmentation: data/label/weight stay aligned under the random
+flips/rotations, and augmentation is deterministic given the key."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uresnet_tpu.engine.augment import augment_batch
+
+
+def _batch(rng, B=2, S=8):
+    label = rng.integers(0, 3, (B, S, S)).astype(np.int32)
+    data = (label > 0)[..., None] * rng.random((B, S, S, 1)).astype(np.float32)
+    weight = rng.uniform(0.5, 2.0, (B, S, S)).astype(np.float32)
+    return {"data": jnp.asarray(data), "label": jnp.asarray(label),
+            "weight": jnp.asarray(weight)}
+
+
+def test_augment_keeps_fields_aligned(rng):
+    b = _batch(rng)
+    # try several keys so both flip branches get exercised
+    for seed in range(6):
+        out = jax.jit(lambda k, b: augment_batch(k, b, dims=2))(
+            jax.random.PRNGKey(seed), b)
+        d, l, w = (np.asarray(out["data"]), np.asarray(out["label"]),
+                   np.asarray(out["weight"]))
+        # data is nonzero exactly where label > 0 — alignment must survive
+        np.testing.assert_array_equal(d[..., 0] > 0, l > 0)
+        # content preserved (permutation only)
+        np.testing.assert_allclose(np.sort(d.ravel()),
+                                   np.sort(np.asarray(b["data"]).ravel()),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.sort(w.ravel()),
+                                      np.sort(np.asarray(b["weight"]).ravel()))
+
+
+def test_augment_deterministic(rng):
+    b = _batch(rng)
+    k = jax.random.PRNGKey(3)
+    a1 = augment_batch(k, b, dims=2)
+    a2 = augment_batch(k, b, dims=2)
+    for key in ("data", "label", "weight"):
+        np.testing.assert_array_equal(np.asarray(a1[key]), np.asarray(a2[key]))
+
+
+def test_augment_3d(rng):
+    B, S = 1, 4
+    label = rng.integers(0, 3, (B, S, S, S)).astype(np.int32)
+    data = (label > 0)[..., None].astype(np.float32)
+    b = {"data": jnp.asarray(data), "label": jnp.asarray(label),
+         "weight": jnp.ones((B, S, S, S), jnp.float32)}
+    out = augment_batch(jax.random.PRNGKey(1), b, dims=3)
+    np.testing.assert_array_equal(np.asarray(out["data"][..., 0] > 0),
+                                  np.asarray(out["label"]) > 0)

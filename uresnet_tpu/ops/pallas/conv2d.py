@@ -19,11 +19,13 @@ measurement (kernel_backend config knob / benchmarks).
 
 Status (round 1): compiled-mode DMA requires the channel dim to be
 128-lane aligned — Mosaic rejects the 64-ch slab copy ("Slice shape along
-dimension 3 must be aligned to tiling (128)"). The measured fix that landed
-instead is the extra H-pack (ops/pack.py s2d_h) which lifts those convs to
-128 channels where XLA reaches ~94 TF/s; this kernel remains the candidate
-for fusing the BN/ReLU epilogue into the (now aligned) 128-ch conv in a
-later round.
+dimension 3 must be aligned to tiling (128)"). At the aligned 128-ch shape
+the remote compile helper fails without surfacing a Mosaic diagnostic
+(HTTP 500 from the relay's tpu_compile_helper), and XLA already runs that
+shape at 104 TF/s with the affine+ReLU epilogue fused, so the measured
+upside is only a few percent. Kernel kept interpret-tested; revisit if the
+toolchain starts surfacing compile diagnostics or a bigger fusion target
+appears.
 """
 
 from __future__ import annotations
