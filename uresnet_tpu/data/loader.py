@@ -53,11 +53,14 @@ def resolve_input_files(cfg: DataConfig, ndims: int) -> list:
 
 def make_batch_loader(cfg: DataConfig, *, num_class: int = 3,
                       train: bool = True, ndims: int = 2,
-                      start_event: int = 0):
+                      start_event: int = 0, shard: tuple = (0, 1)):
     """Backend-selecting factory: native C++ decoder when built and
-    requested ('cxx' or 'auto'), Python fallback otherwise."""
+    requested ('cxx' or 'auto'), Python fallback otherwise. Multi-host
+    input sharding (shard=(rank, count) with count > 1) uses the Python
+    producer with a per-host global-batch slice (the C++ decoder gains a
+    shard knob in a later round)."""
     files = resolve_input_files(cfg, ndims)
-    if cfg.backend in ("cxx", "auto"):
+    if shard[1] == 1 and cfg.backend in ("cxx", "auto"):
         from uresnet_tpu.data import cxx_decoder
 
         if cxx_decoder.available():
@@ -71,7 +74,7 @@ def make_batch_loader(cfg: DataConfig, *, num_class: int = 3,
 
     return BatchLoader(dataclasses.replace(cfg, input_files=tuple(files)),
                        num_class=num_class, train=train, ndims=ndims,
-                       start_event=start_event)
+                       start_event=start_event, shard=shard)
 
 
 class BatchLoader:
@@ -92,20 +95,36 @@ class BatchLoader:
         ndims: int = 2,
         start_event: int = 0,
         queue_depth: Optional[int] = None,
+        shard: tuple = (0, 1),
     ):
+        """`shard=(rank, count)`: multi-host SPMD input sharding (SURVEY.md
+        §2.3 "sharded input pipeline") — this host reads every count-th
+        event and produces its 1/count slice of the GLOBAL batch
+        (cfg.batch_size stays the global size)."""
         self.cfg = cfg
         self.num_class = num_class
         self.train = train
         self.ndims = ndims
+        self.shard = shard
         self._files = resolve_input_files(cfg, ndims)
-        # global event index: (file_idx, event_idx)
+        # global event index: (file_idx, event_idx), sharded per host
         self._index = []
+        pos = 0
         for fi, path in enumerate(self._files):
             n = ev.num_events(path)
-            self._index.extend((fi, ei) for ei in range(n))
+            for ei in range(n):
+                if pos % shard[1] == shard[0]:
+                    self._index.append((fi, ei))
+                pos += 1
         if not self._index:
-            raise ValueError("no events in input files")
-        self._events_per_batch = max(1, cfg.batch_size // max(len(cfg.planes), 1))
+            raise ValueError("no events in input files (after sharding)")
+        rows_per_event = max(len(cfg.planes), 1)
+        global_events = max(1, cfg.batch_size // rows_per_event)
+        if global_events % shard[1]:
+            raise ValueError(
+                f"events per batch ({global_events}) must be divisible by "
+                f"the host count ({shard[1]})")
+        self._events_per_batch = max(1, global_events // shard[1])
         self._cursor = start_event % len(self._index)
         self._rng = np.random.default_rng(cfg.seed)
         self._order = np.arange(len(self._index))
@@ -214,7 +233,8 @@ class BatchLoader:
             self._cursor = int(cursor) % len(self._order)
 
 
-def device_prefetch(it: Iterator[dict], *, sharding=None, depth: int = 2):
+def device_prefetch(it: Iterator[dict], *, sharding=None, depth: int = 2,
+                    put_fn=None):
     """Asynchronously stage host batches onto the device(s).
 
     `jax.device_put` is async: enqueueing `depth` batches ahead overlaps
@@ -228,6 +248,8 @@ def device_prefetch(it: Iterator[dict], *, sharding=None, depth: int = 2):
     import jax
 
     def put(b):
+        if put_fn is not None:  # e.g. multi-host global-array assembly
+            return put_fn(b)
         arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray) and v.ndim > 0}
         scalars = {k: v for k, v in b.items() if k not in arrays}
         if callable(sharding):

@@ -224,8 +224,19 @@ class Trainer:
     # -- data -----------------------------------------------------------------
 
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
-        return {k: (jax.device_put(v, self._leaf_sharding(k))
-                    if isinstance(v, np.ndarray) and v.ndim > 0 else v)
+        multi_host = jax.process_count() > 1
+
+        def put(k, v):
+            if multi_host:
+                # each host holds its 1/process_count slice of the global
+                # batch (sharded loader); assemble the global array from
+                # process-local data (SURVEY.md §2.4 multi-host SPMD)
+                return jax.make_array_from_process_local_data(
+                    self._leaf_sharding(k), v)
+            return jax.device_put(v, self._leaf_sharding(k))
+
+        return {k: (put(k, v) if isinstance(v, np.ndarray) and v.ndim > 0
+                    else v)
                 for k, v in batch.items()}
 
     def make_loader(self, *, train: bool = True, start_event: int = 0):
@@ -238,7 +249,8 @@ class Trainer:
             dcfg = dataclasses.replace(dcfg, seed=dcfg.seed + 10007)
         return make_batch_loader(
             dcfg, num_class=self.cfg.model.num_class, train=train,
-            ndims=self.cfg.model.dims, start_event=start_event)
+            ndims=self.cfg.model.dims, start_event=start_event,
+            shard=(jax.process_index(), jax.process_count()))
 
     # -- checkpoint -----------------------------------------------------------
 
@@ -282,8 +294,10 @@ class Trainer:
         logger = MetricsLogger(cfg.train.log_dir, name="train", echo=log)
         val_logger = MetricsLogger(cfg.train.log_dir, name="val", echo=log)
         last: Dict[str, float] = {}
-        it = device_prefetch(iter(loader), sharding=self._leaf_sharding,
-                             depth=cfg.data.prefetch_depth)
+        it = device_prefetch(
+            iter(loader), sharding=self._leaf_sharding,
+            depth=cfg.data.prefetch_depth,
+            put_fn=self._device_batch if jax.process_count() > 1 else None)
         t_last = time.time()
         cursor_now = cursor
         try:
