@@ -250,6 +250,10 @@ struct urd_config {
   int32_t num_batch_storage;
   int32_t sparse;       // 1: emit padded sparse batches (device densify)
   int32_t max_points;   // sparse pad length per image
+  int32_t shard_rank;   // multi-host SPMD input sharding: this host reads
+  int32_t shard_count;  // every shard_count-th event; batch_size stays the
+                        // GLOBAL batch (local rows = batch/shard_count).
+                        // shard_count <= 0 means 1.
 };
 
 struct urd_batch {
@@ -338,6 +342,9 @@ const char* urd_last_error() { return g_error.c_str(); }
 urd_handle* urd_open(const char** paths, int n_paths, const urd_config* cfg) {
   auto* h = new urd_handle();
   h->cfg = *cfg;
+  int shard_count = cfg->shard_count > 0 ? cfg->shard_count : 1;
+  int shard_rank = cfg->shard_rank;
+  int64_t pos = 0;
   for (int i = 0; i < n_paths; ++i) {
     FileInfo info;
     if (!read_header(paths[i], &info)) {
@@ -351,16 +358,26 @@ urd_handle* urd_open(const char** paths, int n_paths, const urd_config* cfg) {
       return nullptr;
     }
     int32_t fi = (int32_t)h->files.size();
-    for (uint64_t off : info.offsets) h->index.push_back({fi, off});
+    for (uint64_t off : info.offsets) {
+      if (pos % shard_count == shard_rank) h->index.push_back({fi, off});
+      ++pos;
+    }
     h->files.push_back(std::move(info));
   }
   if (h->index.empty()) {
-    g_error = "no events";
+    g_error = "no events (after sharding)";
     delete h;
     return nullptr;
   }
-  h->events_per_batch = cfg->batch_size / (cfg->n_planes > 0 ? cfg->n_planes : 1);
-  if (h->events_per_batch < 1) h->events_per_batch = 1;
+  int global_events =
+      cfg->batch_size / (cfg->n_planes > 0 ? cfg->n_planes : 1);
+  if (global_events < 1) global_events = 1;
+  if (global_events % shard_count) {
+    g_error = "events per batch must be divisible by shard_count";
+    delete h;
+    return nullptr;
+  }
+  h->events_per_batch = global_events / shard_count;
   h->pix_per_image = 1;
   for (int d = 0; d < cfg->ndims; ++d) h->pix_per_image *= cfg->image_size;
 
@@ -372,19 +389,22 @@ urd_handle* urd_open(const char** paths, int n_paths, const urd_config* cfg) {
   int nslots = cfg->num_batch_storage > 0 ? cfg->num_batch_storage : 2;
   h->slots.resize(nslots);
   int64_t per_image = h->pix_per_image;
+  // local rows this host produces per batch (= global batch / shard_count)
+  size_t rows = (size_t)h->events_per_batch *
+                (cfg->n_planes > 0 ? cfg->n_planes : 1);
   for (size_t i = 0; i < h->slots.size(); ++i) {
     auto& s = h->slots[i];
     if (cfg->sparse) {
       size_t P = (size_t)cfg->max_points;
-      s.coords.resize((size_t)cfg->batch_size * P * cfg->ndims);
-      s.values.resize((size_t)cfg->batch_size * P);
-      s.slabels.resize((size_t)cfg->batch_size * P);
-      s.npoints.resize((size_t)cfg->batch_size);
-      s.shape.resize((size_t)cfg->batch_size * cfg->ndims);
+      s.coords.resize(rows * P * cfg->ndims);
+      s.values.resize(rows * P);
+      s.slabels.resize(rows * P);
+      s.npoints.resize(rows);
+      s.shape.resize(rows * cfg->ndims);
     } else {
-      s.data.resize((size_t)cfg->batch_size * per_image);
-      s.label.resize((size_t)cfg->batch_size * per_image);
-      s.weight.resize((size_t)cfg->batch_size * per_image);
+      s.data.resize(rows * per_image);
+      s.label.resize(rows * per_image);
+      s.weight.resize(rows * per_image);
     }
     s.expected = i;  // ticket i is the first to fill slot i
   }

@@ -28,6 +28,8 @@ struct urd_config {
   int32_t num_batch_storage;
   int32_t sparse;
   int32_t max_points;
+  int32_t shard_rank;
+  int32_t shard_count;
 };
 struct urd_batch {
   const float* data;

@@ -40,6 +40,26 @@ def test_shards_partition_events(tmp_path):
     assert not (sig(b0) & sig(b1))
 
 
+def test_cxx_shard_matches_python(tmp_path):
+    from uresnet_tpu.data import cxx_decoder
+
+    if not cxx_decoder.available():
+        import pytest
+
+        pytest.skip("liburesnet_decoder.so not built")
+    path = generate_file(str(tmp_path / "sc.usef"), 8, seed=4,
+                         shape=(128, 128), planes=(0,))
+    for rank in (0, 1):
+        cfg = _cfg(path, 4)
+        py = BatchLoader(cfg, num_class=3, shard=(rank, 2))
+        cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3,
+                                        shard=(rank, 2)).start(1)
+        a, b = py._make_batch(), cx.next()
+        for k in ("coords", "values", "labels", "npoints", "shape"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{k} r{rank}")
+        cx.stop(); cx.close()
+
+
 def test_shard_divisibility_error(tmp_path):
     path = generate_file(str(tmp_path / "s2.usef"), 6, seed=3,
                          shape=(128, 128), planes=(0,))

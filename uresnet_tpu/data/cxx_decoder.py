@@ -46,6 +46,8 @@ class _UrdConfig(C.Structure):
         ("num_batch_storage", C.c_int32),
         ("sparse", C.c_int32),
         ("max_points", C.c_int32),
+        ("shard_rank", C.c_int32),
+        ("shard_count", C.c_int32),
     ]
 
 
@@ -113,11 +115,14 @@ class CxxBatchLoader:
 
     def __init__(self, cfg: DataConfig, *, num_class: int = 3,
                  train: bool = True, ndims: int = 2, start_event: int = 0,
-                 files: Optional[Sequence[str]] = None):
+                 files: Optional[Sequence[str]] = None,
+                 shard: tuple = (0, 1)):
         lib = _load()
         self._lib = lib
         self.cfg = cfg
         self.ndims = ndims
+        self.shard = shard
+        self._rows = cfg.batch_size // max(shard[1], 1)
         paths = list(files if files is not None else cfg.input_files)
         if not paths:
             raise ValueError("CxxBatchLoader requires input files")
@@ -136,6 +141,8 @@ class CxxBatchLoader:
             num_batch_storage=cfg.num_batch_storage,
             sparse=1 if cfg.transfer == "sparse" else 0,
             max_points=cfg.max_points,
+            shard_rank=shard[0],
+            shard_count=shard[1],
         )
         self._sparse = cfg.transfer == "sparse"
         for i, p in enumerate(cfg.planes):
@@ -146,7 +153,7 @@ class CxxBatchLoader:
             raise RuntimeError(lib.urd_last_error().decode())
         if start_event:
             lib.urd_seek(self._h, start_event)
-        self._shape = (cfg.batch_size,) + (cfg.image_size,) * ndims
+        self._shape = (self._rows,) + (cfg.image_size,) * ndims
         self._started = False
 
     def start(self, num_threads: Optional[int] = None) -> "CxxBatchLoader":
@@ -162,7 +169,7 @@ class CxxBatchLoader:
         slot = self._lib.urd_next(self._h, C.byref(b))
         if slot < 0:
             raise RuntimeError(self._lib.urd_last_error().decode())
-        B = self.cfg.batch_size
+        B = self._rows
         if self._sparse:
             P, nd = self.cfg.max_points, self.ndims
             arr = lambda ptr, shape: np.ctypeslib.as_array(

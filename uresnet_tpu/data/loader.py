@@ -55,18 +55,17 @@ def make_batch_loader(cfg: DataConfig, *, num_class: int = 3,
                       train: bool = True, ndims: int = 2,
                       start_event: int = 0, shard: tuple = (0, 1)):
     """Backend-selecting factory: native C++ decoder when built and
-    requested ('cxx' or 'auto'), Python fallback otherwise. Multi-host
-    input sharding (shard=(rank, count) with count > 1) uses the Python
-    producer with a per-host global-batch slice (the C++ decoder gains a
-    shard knob in a later round)."""
+    requested ('cxx' or 'auto'), Python fallback otherwise. Both support
+    multi-host input sharding: shard=(rank, count) reads every count-th
+    event and produces this host's 1/count slice of the GLOBAL batch."""
     files = resolve_input_files(cfg, ndims)
-    if shard[1] == 1 and cfg.backend in ("cxx", "auto"):
+    if cfg.backend in ("cxx", "auto"):
         from uresnet_tpu.data import cxx_decoder
 
         if cxx_decoder.available():
             return cxx_decoder.CxxBatchLoader(
                 cfg, num_class=num_class, train=train, ndims=ndims,
-                start_event=start_event, files=files)
+                start_event=start_event, files=files, shard=shard)
         if cfg.backend == "cxx":
             raise OSError("backend='cxx' requested but liburesnet_decoder.so "
                           "is not built (make -C cxx/decoder)")
