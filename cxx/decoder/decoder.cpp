@@ -46,6 +46,22 @@ struct EventRef {
   uint64_t offset;
 };
 
+// Epoch shuffle PRNG: splitmix64, chosen because the Python BatchLoader
+// implements the exact same stream (uresnet_tpu/data/loader.py
+// epoch_order) — the event order is a pure function of (seed, epoch), so
+// checkpoints resume bit-identically even across decoder backends.
+struct SplitMix64 {
+  uint64_t s;
+  explicit SplitMix64(uint64_t seed) : s(seed) {}
+  uint64_t next() {
+    s += 0x9e3779b97f4a7c15ull;
+    uint64_t z = s;
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+    return z ^ (z >> 31);
+  }
+};
+
 struct FileInfo {
   std::string path;
   uint32_t ndims;
@@ -310,17 +326,17 @@ struct urd_handle {
   bool stopping = false;
   std::string error;
   std::vector<std::thread> workers;
-  std::mt19937_64 shuffle_rng;
   uint64_t epoch = 0;  // epoch of the current `order`
 
   int64_t n_events() const { return (int64_t)index.size(); }
 
   void reshuffle_for_epoch(uint64_t ep) {
-    // deterministic given (seed, epoch)
+    // deterministic given (seed, epoch); stream shared with the Python
+    // loader (see SplitMix64 above)
     if (!cfg.random_access) return;
-    std::mt19937_64 rng(cfg.seed + 0x9e3779b97f4a7c15ull * (ep + 1));
+    SplitMix64 rng(cfg.seed + 0x9e3779b97f4a7c15ull * (ep + 1));
     for (size_t i = order.size(); i > 1; --i) {
-      size_t j = rng() % i;
+      size_t j = (size_t)(rng.next() % i);
       std::swap(order[i - 1], order[j]);
     }
   }
@@ -340,6 +356,18 @@ static thread_local std::string g_error;
 const char* urd_last_error() { return g_error.c_str(); }
 
 urd_handle* urd_open(const char** paths, int n_paths, const urd_config* cfg) {
+  // plane/batch invariants: the planes array is fixed at 8 entries, and one
+  // event contributes one row per selected plane, so batch_size must be a
+  // positive multiple of n_planes (mirrored in data/cxx_decoder.py and
+  // data/loader.py).
+  if (cfg->n_planes < 1 || cfg->n_planes > 8) {
+    g_error = "n_planes must be in [1, 8]";
+    return nullptr;
+  }
+  if (cfg->batch_size < 1 || cfg->batch_size % cfg->n_planes) {
+    g_error = "batch_size must be a positive multiple of n_planes";
+    return nullptr;
+  }
   auto* h = new urd_handle();
   h->cfg = *cfg;
   int shard_count = cfg->shard_count > 0 ? cfg->shard_count : 1;
@@ -412,8 +440,11 @@ urd_handle* urd_open(const char** paths, int n_paths, const urd_config* cfg) {
 }
 
 void urd_seek(urd_handle* h, int64_t cursor) {
+  // ABSOLUTE event position (epoch = cursor / n_events): resume past an
+  // epoch boundary must replay that epoch's shuffle, not epoch 0's
+  // (SURVEY.md §5 checkpoint/resume bitwise determinism).
   std::lock_guard<std::mutex> lk(h->mu);
-  h->start_cursor = cursor % (int64_t)h->index.size();
+  h->start_cursor = cursor < 0 ? 0 : cursor;
 }
 
 int64_t urd_num_events(urd_handle* h) { return h->n_events(); }
@@ -522,7 +553,7 @@ static void fill_worker(urd_handle* h) {
         h->cv_ready.notify_all();
         return;
       }
-      slot->cursor = (first + epb) % n_ev;
+      slot->cursor = first + epb;  // absolute: epoch survives resume
       slot->state = urd_handle::Slot::kReady;
       h->cv_ready.notify_all();
     }

@@ -93,6 +93,46 @@ def test_cxx_seek_resume(usef_file):
     cx2.stop(); cx2.close()
 
 
+def test_cxx_matches_python_shuffled(usef_file):
+    """Shared splitmix64 epoch shuffle: the C++ and Python producers emit
+    the SAME shuffled stream (so resume may switch backends), across an
+    epoch boundary (12 events, 2 events/batch, 8 batches)."""
+    cfg = _cfg(usef_file, random_access=True, seed=13)
+    py = BatchLoader(cfg, num_class=3)
+    cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(2)
+    for _ in range(8):
+        a, b = py.next(), cx.next()
+        np.testing.assert_array_equal(a["data"], b["data"])
+        assert int(a["cursor"]) == int(b["cursor"])
+    cx.stop(); cx.close()
+
+
+def test_cxx_epoch_boundary_resume(usef_file):
+    """Absolute cursor: resuming after an epoch boundary must replay that
+    epoch's shuffle, bit-exactly."""
+    cfg = _cfg(usef_file, random_access=True, seed=21)
+    cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(1)
+    batches = [cx.next() for _ in range(8)]
+    cx.stop(); cx.close()
+    c = int(batches[5]["cursor"])
+    assert c == 12  # absolute: exactly one epoch of 12 events
+    cx2 = cxx_decoder.CxxBatchLoader(cfg, num_class=3,
+                                     start_event=c).start(1)
+    for k in (6, 7):
+        nb = cx2.next()
+        np.testing.assert_array_equal(batches[k]["data"], nb["data"])
+        assert int(nb["cursor"]) == int(batches[k]["cursor"])
+    cx2.stop(); cx2.close()
+
+
+def test_cxx_rejects_batch_not_multiple_of_planes(usef_file):
+    """batch=5 over 2 planes used to hand numpy a 5-row view over a 4-row
+    C++ slot buffer — now rejected up front."""
+    cfg = _cfg(usef_file, batch_size=5)
+    with pytest.raises(ValueError, match="multiple"):
+        cxx_decoder.CxxBatchLoader(cfg, num_class=3)
+
+
 def test_cxx_zero_copy_release(usef_file):
     cfg = _cfg(usef_file)
     cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(1)

@@ -122,6 +122,85 @@ def test_loader_cursor_seek_deterministic(tmp_path):
     np.testing.assert_array_equal(b1["data"], b2["data"])
 
 
+def test_loader_deterministic_across_threads(tmp_path):
+    """Ticket-ordered delivery: the batch stream (and each batch's cursor)
+    must be identical for any producer thread count."""
+    path = generate_file(str(tmp_path / "t.usef"), 10, seed=2,
+                         shape=(128, 128), planes=(0,))
+    cfg = DataConfig(image_size=64, batch_size=2, planes=(0,),
+                     input_files=(path,), synthetic=False,
+                     random_access=True, seed=7, transfer="dense",
+                     num_batch_storage=3)
+    outs = []
+    for threads in (1, 3):
+        lo = BatchLoader(cfg, num_class=3).start(threads)
+        outs.append([lo.next() for _ in range(8)])
+        lo.stop()
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a["data"], b["data"])
+        assert int(a["cursor"]) == int(b["cursor"])
+
+
+def test_loader_epoch_boundary_resume(tmp_path):
+    """Resume PAST an epoch boundary replays the later epoch's shuffle
+    (cursor is absolute: epoch = cursor // n_events)."""
+    path = generate_file(str(tmp_path / "e.usef"), 6, seed=4,
+                         shape=(128, 128), planes=(0,))
+    cfg = DataConfig(image_size=64, batch_size=4, planes=(0,),
+                     input_files=(path,), synthetic=False,
+                     random_access=True, seed=9, transfer="dense")
+    a = BatchLoader(cfg, num_class=3)
+    batches = [a.next() for _ in range(4)]  # positions 0..15: epochs 0..2
+    c = int(batches[1]["cursor"])
+    assert c == 8  # absolute, not mod-6
+    b = BatchLoader(cfg, num_class=3, start_event=c)
+    for k in (2, 3):
+        nb = b.next()
+        np.testing.assert_array_equal(batches[k]["data"], nb["data"])
+        assert int(nb["cursor"]) == int(batches[k]["cursor"])
+
+
+def test_loader_epochs_reshuffle(tmp_path):
+    """Consecutive epochs must visit events in different orders."""
+    from uresnet_tpu.data.loader import epoch_order
+
+    o0 = epoch_order(32, seed=3, epoch=0, shuffle=True)
+    o1 = epoch_order(32, seed=3, epoch=1, shuffle=True)
+    assert not np.array_equal(o0, o1)
+    assert sorted(o0) == sorted(o1) == list(range(32))
+    np.testing.assert_array_equal(
+        epoch_order(32, 3, 1, True), o1)  # pure function of (seed, epoch)
+
+
+def test_loader_multifile_preserves_order(tmp_path):
+    """Rows must follow the sampled event order even when events span
+    multiple files (the C++ decoder emits strict index-order rows)."""
+    import dataclasses
+
+    p1 = generate_file(str(tmp_path / "m1.usef"), 4, seed=1,
+                       shape=(128, 128), planes=(0,))
+    p2 = generate_file(str(tmp_path / "m2.usef"), 4, seed=2,
+                       shape=(128, 128), planes=(0,))
+    cfg = DataConfig(image_size=64, batch_size=4, planes=(0,),
+                     input_files=(p1, p2), synthetic=False,
+                     random_access=True, seed=3, transfer="dense")
+    b = BatchLoader(cfg, num_class=3).next()
+    # oracle: batch_size=1 batches walk the same stream one event at a time
+    lo1 = BatchLoader(dataclasses.replace(cfg, batch_size=1), num_class=3)
+    for r in range(4):
+        rb = lo1.next()
+        np.testing.assert_array_equal(b["data"][r], rb["data"][0])
+
+
+def test_loader_rejects_batch_not_multiple_of_planes(tmp_path):
+    path = generate_file(str(tmp_path / "bb.usef"), 4, seed=1,
+                         shape=(128, 128), planes=(0, 1))
+    cfg = DataConfig(image_size=64, batch_size=5, planes=(0, 1),
+                     input_files=(path,), synthetic=False)
+    with pytest.raises(ValueError, match="multiple"):
+        BatchLoader(cfg, num_class=3)
+
+
 def test_synthetic_has_all_classes(rng):
     ev = _event(rng, shape=(256, 256), planes=(0,))
     labs = ev.planes[0].labels

@@ -114,6 +114,40 @@ def test_checkpoint_resume_bit_exact(tmp_path):
     np.testing.assert_array_equal(np.asarray(ts_cont.key), np.asarray(ts_r.key))
 
 
+def test_fit_resume_across_epoch_boundary(tmp_path):
+    """Train PAST an epoch boundary, resume from the checkpoint, and match
+    the unbroken run bit-exactly (SURVEY.md §5: resume must be
+    bitwise-deterministic given the saved PRNG and data cursor — including
+    the per-epoch shuffle)."""
+    def cfg_for(subdir):
+        return Config(
+            model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                              compute_dtype="float32"),
+            # 8 events, 4 events/batch -> epoch boundary every 2 steps
+            data=DataConfig(image_size=32, batch_size=4, planes=(0,),
+                            synthetic=True, synthetic_events=8, seed=5,
+                            num_threads=2, random_access=True),
+            optim=OptimConfig(lr=3e-3),
+            train=TrainConfig(summary_iter=100, checkpoint_iter=0,
+                              val_iter=0, seed=11,
+                              checkpoint_dir=str(tmp_path / subdir / "ckpt"),
+                              log_dir=str(tmp_path / subdir / "log")),
+        )
+
+    tr_a = Trainer(cfg_for("unbroken"), mesh=make_mesh(1))
+    ts_a, _ = tr_a.fit(iterations=6, log=False)
+
+    cfg_b = cfg_for("resumed")
+    Trainer(cfg_b, mesh=make_mesh(1)).fit(iterations=3, log=False)
+    ts_b, _ = Trainer(cfg_b, mesh=make_mesh(1)).fit(
+        iterations=3, resume=True, log=False)
+
+    for a, b in zip(jax.tree.leaves(ts_a.params),
+                    jax.tree.leaves(ts_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ts_a.key), np.asarray(ts_b.key))
+
+
 def test_fit_end_to_end_synthetic(tmp_path):
     """MINIMUM END-TO-END SLICE (SURVEY.md §7 stage 4): real loader ->
     jitted steps -> checkpoint written -> metrics logged."""

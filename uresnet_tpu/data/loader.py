@@ -18,7 +18,6 @@ Two host-side producers with identical semantics:
 from __future__ import annotations
 
 import os
-import queue
 import tempfile
 import threading
 from typing import Dict, Iterator, Optional
@@ -76,13 +75,48 @@ def make_batch_loader(cfg: DataConfig, *, num_class: int = 3,
                        start_event=start_event, shard=shard)
 
 
+_SM64_MASK = (1 << 64) - 1
+_SM64_GOLD = 0x9E3779B97F4A7C15
+
+
+def epoch_order(n: int, seed: int, epoch: int, shuffle: bool) -> np.ndarray:
+    """Event order for one epoch: splitmix64 Fisher-Yates, bit-identical to
+    the C++ decoder's (cxx/decoder/decoder.cpp SplitMix64 +
+    reshuffle_for_epoch). A pure function of (seed, epoch), so resume — even
+    switching decoder backends — replays the exact same stream."""
+    order = np.arange(n, dtype=np.int64)
+    if not shuffle:
+        return order
+    s = (seed + _SM64_GOLD * (epoch + 1)) & _SM64_MASK
+    for i in range(n, 1, -1):
+        s = (s + _SM64_GOLD) & _SM64_MASK
+        z = s
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _SM64_MASK
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _SM64_MASK
+        z = z ^ (z >> 31)
+        j = z % i
+        order[i - 1], order[j] = order[j], order[i - 1]
+    return order
+
+
 class BatchLoader:
     """Threaded host-side batch producer over USEF files.
 
     ``batch_size`` counts images (= events x selected planes). Iteration is
-    infinite (cycling the event list); ``epoch_order`` reshuffles per epoch
-    when ``random_access`` else sequential — matching larcv ThreadProcessor's
+    infinite (cycling the event list); per-epoch reshuffle when
+    ``random_access`` else sequential — matching larcv ThreadProcessor's
     RandomAccess knob (SURVEY.md §2.1 larcv IO configs).
+
+    Determinism contract (SURVEY.md §5 checkpoint/resume), matching the C++
+    decoder (cxx/decoder/decoder.cpp):
+      * the event stream is a pure function of (seed, absolute cursor):
+        epoch ``ep``'s order is an independent splitmix64 shuffle
+        (`epoch_order`), identical across backends;
+      * producer threads claim fill tickets and batches are DELIVERED in
+        ticket order — the stream is identical for any thread count;
+      * each batch's ``cursor`` is the ABSOLUTE event position after it
+        (epoch = cursor // n_events), so resume past an epoch boundary
+        replays the correct epoch's shuffle, not epoch 0's.
     """
 
     def __init__(
@@ -118,46 +152,73 @@ class BatchLoader:
         if not self._index:
             raise ValueError("no events in input files (after sharding)")
         rows_per_event = max(len(cfg.planes), 1)
-        global_events = max(1, cfg.batch_size // rows_per_event)
+        if cfg.batch_size < 1 or cfg.batch_size % rows_per_event:
+            raise ValueError(
+                f"batch_size ({cfg.batch_size}) must be a positive multiple "
+                f"of the number of selected planes ({rows_per_event}) — each "
+                f"event contributes one row per plane")
+        global_events = cfg.batch_size // rows_per_event
         if global_events % shard[1]:
             raise ValueError(
                 f"events per batch ({global_events}) must be divisible by "
                 f"the host count ({shard[1]})")
         self._events_per_batch = max(1, global_events // shard[1])
-        self._cursor = start_event % len(self._index)
-        self._rng = np.random.default_rng(cfg.seed)
-        self._order = np.arange(len(self._index))
-        if cfg.random_access and train:
-            self._rng.shuffle(self._order)
-        self._q: queue.Queue = queue.Queue(
-            maxsize=queue_depth or cfg.num_batch_storage)
+        self._cursor = max(0, int(start_event))  # ABSOLUTE event position
+        self._orders: Dict[int, np.ndarray] = {}  # epoch -> permutation
+        self._order_lock = threading.Lock()
+        self._depth = queue_depth or cfg.num_batch_storage
+        # ticket-ordered reorder buffer (ADR: mirrors the C++ decoder's
+        # ticket-ordered rotating slots so both producers are deterministic
+        # for any thread count)
+        self._cond = threading.Condition()
+        self._ready: Dict[int, Dict[str, np.ndarray]] = {}
+        self._next_ticket = 0
+        self._next_consume = 0
+        self._error: Optional[BaseException] = None
         self._stop = threading.Event()
         self._threads = []
-        self._lock = threading.Lock()
+        # back-compat shim: tests/tools peek at `_q.qsize()` for the
+        # decode-queue-depth metric
+        self._q = _ReadyDepth(self)
 
     # -- producer ------------------------------------------------------------
 
-    def _next_indices(self, n: int):
-        with self._lock:
-            out = []
-            for _ in range(n):
-                if self._cursor >= len(self._order):
-                    self._cursor = 0
-                    if self.cfg.random_access and self.train:
-                        self._rng.shuffle(self._order)
-                out.append(self._order[self._cursor])
-                self._cursor += 1
-            cursor = self._cursor
-        return [self._index[i] for i in out], cursor
+    def _event_for_pos(self, pos: int):
+        """(file_idx, event_idx) for an absolute stream position."""
+        n = len(self._index)
+        epoch, within = divmod(pos, n)
+        with self._order_lock:
+            order = self._orders.get(epoch)
+            if order is None:
+                order = epoch_order(n, self.cfg.seed, epoch,
+                                    self.cfg.random_access and self.train)
+                self._orders[epoch] = order
+                for k in [k for k in self._orders if k < epoch - 1]:
+                    del self._orders[k]  # bound the cache; regenerable
+        return self._index[order[within]]
 
-    def _make_batch(self) -> Dict[str, np.ndarray]:
-        idxs, cursor = self._next_indices(self._events_per_batch)
+    def _claim(self):
+        """Atomically claim the next (ticket, start position) pair."""
+        with self._cond:
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            start = self._cursor
+            self._cursor += self._events_per_batch
+        return ticket, start
+
+    def _build_batch(self, start: int) -> Dict[str, np.ndarray]:
+        idxs = [self._event_for_pos(p)
+                for p in range(start, start + self._events_per_batch)]
+        # group reads per file for IO locality, but reassemble rows in the
+        # sampled order (the C++ decoder emits strict index-order rows)
         by_file: Dict[int, list] = {}
-        for fi, ei in idxs:
-            by_file.setdefault(fi, []).append(ei)
-        evs = []
-        for fi, eis in by_file.items():
-            evs.extend(ev.read_events(self._files[fi], eis))
+        for j, (fi, ei) in enumerate(idxs):
+            by_file.setdefault(fi, []).append((j, ei))
+        evs = [None] * len(idxs)
+        for fi, pairs in by_file.items():
+            got = ev.read_events(self._files[fi], [ei for _, ei in pairs])
+            for (j, _), e in zip(pairs, got):
+                evs[j] = e
         if self.cfg.transfer == "sparse":
             batch = sparse_batch(evs, planes=self.cfg.planes,
                                  max_points=self.cfg.max_points,
@@ -173,22 +234,40 @@ class BatchLoader:
                 num_class=self.num_class,
                 nonzero_boost=self.cfg.weight_nonzero_boost,
             )
-        batch["cursor"] = np.int64(cursor)
+        batch["cursor"] = np.int64(start + self._events_per_batch)
         return batch
+
+    def _make_batch(self) -> Dict[str, np.ndarray]:
+        """Synchronous claim+build+consume (also used by tests/tools
+        directly). Marks its ticket consumed so a later `start()` hands the
+        NEXT ticket to the threaded consumer."""
+        with self._cond:
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            start = self._cursor
+            self._cursor += self._events_per_batch
+            self._next_consume = ticket + 1
+        return self._build_batch(start)
 
     def _worker(self):
         while not self._stop.is_set():
+            ticket, start = self._claim()
             try:
-                b = self._make_batch()
-            except Exception:  # surface in consumer
-                self._q.put(None)
+                b = self._build_batch(start)
+            except BaseException as e:  # surface in consumer
+                with self._cond:
+                    self._error = e
+                    self._cond.notify_all()
                 raise
-            while not self._stop.is_set():
-                try:
-                    self._q.put(b, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+            with self._cond:
+                # backpressure: never run more than `depth` tickets ahead
+                while (not self._stop.is_set()
+                       and ticket - self._next_consume >= self._depth):
+                    self._cond.wait(0.1)
+                if self._stop.is_set():
+                    return
+                self._ready[ticket] = b
+                self._cond.notify_all()
 
     def start(self, num_threads: Optional[int] = None) -> "BatchLoader":
         n = num_threads if num_threads is not None else self.cfg.num_threads
@@ -201,18 +280,22 @@ class BatchLoader:
     def next(self) -> Dict[str, np.ndarray]:
         if not self._threads:
             return self._make_batch()  # synchronous mode
-        b = self._q.get()
-        if b is None:
-            raise RuntimeError("loader worker died; see traceback above")
+        with self._cond:
+            while (self._next_consume not in self._ready
+                   and self._error is None):
+                self._cond.wait(0.1)
+            if self._next_consume not in self._ready:
+                raise RuntimeError(
+                    "loader worker died; see traceback above") from self._error
+            b = self._ready.pop(self._next_consume)
+            self._next_consume += 1
+            self._cond.notify_all()
         return b
 
     def stop(self):
         self._stop.set()
-        while True:  # drain so workers blocked on put() can exit
-            try:
-                self._q.get_nowait()
-            except queue.Empty:
-                break
+        with self._cond:
+            self._cond.notify_all()
         for t in self._threads:
             t.join(timeout=2.0)
         self._threads = []
@@ -223,13 +306,34 @@ class BatchLoader:
 
     @property
     def cursor(self) -> int:
-        with self._lock:
+        """Next unclaimed ABSOLUTE event position. For checkpointing, prefer
+        each consumed batch's own `cursor` (positions claimed by in-flight
+        producer tickets are included here)."""
+        with self._cond:
             return self._cursor
 
     def seek(self, cursor: int):
-        """Restore the data cursor (checkpoint/resume contract, SURVEY.md §5)."""
-        with self._lock:
-            self._cursor = int(cursor) % len(self._order)
+        """Restore the data cursor (checkpoint/resume contract, SURVEY.md
+        §5). `cursor` is the ABSOLUTE event position (a consumed batch's
+        `cursor` value). Call before `start()`."""
+        with self._cond:
+            if self._threads:
+                raise RuntimeError("seek() requires a stopped loader")
+            self._cursor = max(0, int(cursor))
+            self._next_ticket = 0
+            self._next_consume = 0
+            self._ready.clear()
+
+
+class _ReadyDepth:
+    """Minimal queue-like facade over the reorder buffer (qsize only)."""
+
+    def __init__(self, loader: "BatchLoader"):
+        self._loader = loader
+
+    def qsize(self) -> int:
+        with self._loader._cond:
+            return len(self._loader._ready)
 
 
 def device_prefetch(it: Iterator[dict], *, sharding=None, depth: int = 2,
