@@ -28,9 +28,6 @@ def test_same_halo_values():
 @pytest.mark.parametrize("stride", [1, 2])
 @pytest.mark.parametrize("k", [1, 3, 5])
 def test_sharded_conv2d_matches(stride, k):
-    if k == 5 and stride == 2:
-        pytest.skip("k=5 s=2 needs halo > shard for tiny shards; not a "
-                    "U-ResNet op")
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 32, 16, 3)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((k, k, 3, 4)).astype(np.float32))
@@ -39,6 +36,17 @@ def test_sharded_conv2d_matches(stride, k):
     want = unsharded_conv(x, w, stride)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_halo_wider_than_shard_raises():
+    """Receptive field spanning beyond the immediate neighbor shard must
+    fail loudly (multi-hop halo is unsupported, not silently wrong)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((9, 9, 2, 2)).astype(np.float32))
+    mesh = make_mesh(1, 4)  # 2-row shards; k=9 needs 4-row halos
+    with pytest.raises(ValueError, match="halo"):
+        sharded_conv(x, w, mesh=mesh, stride=1, dims=2, spatial_dim=1)
 
 
 def test_sharded_conv3d_matches():

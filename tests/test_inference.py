@@ -50,6 +50,48 @@ def test_run_inference_score_export(setup):
     np.testing.assert_array_equal(z["pred"], z["scores"].argmax(1))
 
 
+def test_run_inference_usef_writeback(setup):
+    """Reference-style score-map writeback (SURVEY.md §3.2): per-class score
+    planes in USEF format, round-trippable through data/events.py, scores in
+    ORIGINAL detector coordinates."""
+    from uresnet_tpu.data import events as ev
+    from uresnet_tpu.engine.evaluator import score_plane_id
+
+    trainer, ts, path, tmp = setup
+    out = str(tmp / "scores.usef")
+    stats = run_inference(trainer, ts, path, out, fmt="usef")
+    assert stats["n_events"] == 6
+
+    back = ev.read_events(out)
+    assert len(back) == 6
+    inputs = ev.read_events(path)
+    num_class = trainer.cfg.model.num_class
+    for evt_in, evt_out in zip(inputs, back):
+        # one score plane per (input plane, class)
+        assert len(evt_out.planes) == 2 * num_class
+        by_id = {p.plane_id: p for p in evt_out.planes}
+        for pin in evt_in.planes:
+            if pin.plane_id not in (0, 1):
+                continue
+            cls_planes = [by_id[score_plane_id(pin.plane_id, c, num_class)]
+                          for c in range(num_class)]
+            # score planes share coords (original space, inside the source
+            # plane's extent) and softmax across classes sums to 1
+            n = len(cls_planes[0].values)
+            assert n > 0
+            for cp in cls_planes:
+                np.testing.assert_array_equal(cp.coords, cls_planes[0].coords)
+                assert tuple(cp.shape) == tuple(pin.shape)
+                assert (cp.coords >= 0).all()
+                assert (cp.coords < np.asarray(pin.shape)).all()
+            total = sum(cp.values.astype(np.float64) for cp in cls_planes)
+            np.testing.assert_allclose(total, 1.0, rtol=1e-3)
+            # labels carry the predicted class = argmax over score planes
+            stacked = np.stack([cp.values for cp in cls_planes], axis=1)
+            np.testing.assert_array_equal(cls_planes[0].labels,
+                                          stacked.argmax(1).astype(np.uint8))
+
+
 def test_evaluate_dataset_metrics(setup):
     trainer, ts, path, tmp = setup
     m = evaluate_dataset(trainer, ts, num_batches=2)

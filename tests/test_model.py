@@ -110,3 +110,42 @@ def test_golden_logits_fixture():
     np.testing.assert_allclose(
         np.asarray(logits[0, ::5, ::5, :]), golden["probe"], rtol=1e-3,
         atol=1e-4)
+
+
+@pytest.mark.parametrize("pack", [False, True])
+def test_remat_modes_numerically_equal(pack):
+    """remat False / 'level' / 'block' are pure scheduling choices: logits
+    and gradients must agree (recompute is the same computation)."""
+    import dataclasses
+
+    cfg0 = dataclasses.replace(TINY, pack=pack)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 1)),
+                    jnp.float32)
+    outs, grads = [], []
+    for remat in (False, "level", "block"):
+        cfg = dataclasses.replace(cfg0, remat=remat)
+        params, state = uresnet_init(jax.random.PRNGKey(3), cfg)
+
+        def loss_fn(p):
+            logits, _ = uresnet_apply(p, state, x, cfg=cfg, train=True)
+            return jnp.sum(logits ** 2)
+
+        val, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+        outs.append(float(val))
+        grads.append(jax.device_get(g))
+    assert np.allclose(outs[0], outs[1], rtol=1e-6)
+    assert np.allclose(outs[0], outs[2], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[2])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_remat_bad_mode_raises():
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, remat="bogus")
+    params, state = uresnet_init(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="remat"):
+        uresnet_apply(params, state, jnp.ones((1, 16, 16, 1)), cfg=cfg,
+                      train=False)

@@ -23,6 +23,10 @@ def main(argv=None):
                    help="checkpoint path (default: latest in checkpoint_dir)")
     p.add_argument("--input", default=None, help="USEF input file")
     p.add_argument("--output", default="scores.npz", help="score export path")
+    p.add_argument("--format", default="npz", choices=("npz", "usef"),
+                   help="score export format: sparse npz arrays, or "
+                        "reference-style USEF score-map writeback (per-class "
+                        "score planes readable by data/events.py)")
     p.add_argument("--metrics-only", action="store_true",
                    help="evaluate metrics on the configured dataset instead")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
@@ -54,7 +58,8 @@ def main(argv=None):
         m = evaluate_dataset(trainer, ts)
         print("metrics:", {k: round(v, 5) for k, v in m.items()}, flush=True)
     else:
-        m = run_inference(trainer, ts, args.input, args.output)
+        m = run_inference(trainer, ts, args.input, args.output,
+                          fmt=args.format)
         print(f"wrote {args.output}:", m, flush=True)
     return 0
 

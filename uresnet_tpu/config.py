@@ -43,7 +43,13 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay float32
     param_dtype: str = "float32"
     final_kernel: int = 3            # kernel of the logits conv
-    remat: bool = False              # jax.checkpoint per level (3D memory)
+    remat: Any = False               # rematerialization (3D memory,
+                                     # SURVEY.md §7 hard part #5):
+                                     # False | True/"level" (checkpoint each
+                                     # U-Net level) | "block" (checkpoint
+                                     # each resblock/downsample/upsample —
+                                     # lower peak during the backward of the
+                                     # high-resolution levels)
     kernel_backend: str = "auto"     # "xla" | "pallas" | "auto" (bench-gated)
     pack: bool = False               # space-to-depth packed low-channel levels
     pack_threshold: int = 64         # pack levels with channels < threshold
@@ -100,6 +106,7 @@ class TrainConfig:
     summary_iter: int = 20
     checkpoint_iter: int = 200
     val_iter: int = 100
+    val_batches: int = 8             # batches per in-loop validation pass
     checkpoint_dir: str = "ckpt"
     log_dir: str = "log"
     load_file: str = ""              # checkpoint path to restore
@@ -158,6 +165,7 @@ _REFERENCE_KEYS: Dict[str, str] = {
     "SUMMARY_ITERATION": "train.summary_iter",
     "CHECKPOINT_ITERATION": "train.checkpoint_iter",
     "VAL_ITERATION": "train.val_iter",
+    "VAL_BATCHES": "train.val_batches",
     "SEED": "train.seed",
     "NUM_THREADS": "data.num_threads",
     "NUM_BATCH_STORAGE": "data.num_batch_storage",
@@ -199,7 +207,12 @@ def _set_dotted(obj: Any, dotted: str, value: Any) -> None:
     if isinstance(current, tuple) and not isinstance(value, tuple):
         value = (value,)
     if isinstance(current, bool):
-        value = bool(value) if not isinstance(value, str) else value.lower() == "true"
+        if isinstance(value, str):
+            # tri-state fields (e.g. model.remat=block) keep the string
+            if value.lower() in ("true", "false", "1", "0"):
+                value = value.lower() in ("true", "1")
+        else:
+            value = bool(value)
     elif isinstance(current, int) and not isinstance(value, bool) and isinstance(value, float):
         value = int(value)
     elif isinstance(current, float) and isinstance(value, int):

@@ -18,8 +18,15 @@ import jax
 import numpy as np
 
 from uresnet_tpu.data import events as ev
-from uresnet_tpu.data.pipeline import densify_batch
+from uresnet_tpu.data.pipeline import crop_or_pad_coords, densify_batch
 from uresnet_tpu.engine.trainer import Trainer, TrainState
+
+
+def score_plane_id(plane_id: int, cls: int, num_class: int) -> int:
+    """USEF score-export plane-id convention: the per-class score image of
+    input plane `p` is stored as plane_id = p * num_class + cls (the
+    reference writes one larcv Image2D per class, SURVEY.md §3.2)."""
+    return plane_id * num_class + cls
 
 
 def run_inference(
@@ -29,21 +36,32 @@ def run_inference(
     output_file: str,
     *,
     batch_events: Optional[int] = None,
+    fmt: str = "npz",
 ) -> Dict[str, float]:
-    """Sequential pass over `input_file`; writes sparse score export.
+    """Sequential pass over `input_file`; writes per-pixel score export.
 
-    Output npz arrays (concatenated over all events):
+    fmt="npz" (sparse arrays, concatenated over all events):
       event_id (N,), plane_id (N,), coords (N, ndims),
       scores (N, num_class), pred (N,), label (N,)
-    plus per-event metrics aggregates.
+
+    fmt="usef" (reference-style score-map writeback, SURVEY.md §3.2: the
+    reference writes per-pixel per-class score images back to the data
+    file): a USEF file readable by `data/events.py`, one event per input
+    event; each input plane `p` emits `num_class` score planes with
+    plane_id = p * num_class + cls (`score_plane_id`), coords in ORIGINAL
+    detector space, values = softmax scores, labels = predicted class.
     """
+    if fmt not in ("npz", "usef"):
+        raise ValueError(f"unknown score export format {fmt!r}")
     cfg = trainer.cfg
     n = ev.num_events(input_file)
     planes = tuple(cfg.data.planes)
+    num_class = cfg.model.num_class
     bs_events = batch_events or max(1, cfg.data.batch_size // len(planes))
 
     out_event, out_plane, out_coords = [], [], []
     out_scores, out_pred, out_label = [], [], []
+    usef_events = []
     n_correct_nonzero = 0
     n_nonzero = 0
 
@@ -59,12 +77,14 @@ def run_inference(
             normalize_scale=cfg.data.normalize_scale,
             normalize_clip=cfg.data.normalize_clip,
             weight_mode="ones",
-            num_class=cfg.model.num_class,
+            num_class=num_class,
         )
         scores = np.asarray(trainer.forward(ts, batch["data"]))
         pred = scores.argmax(-1)
         rows_per_event = len(planes)
-        for bi, eidx in enumerate(idxs):
+        for bi, (eidx, evt) in enumerate(zip(idxs, events)):
+            by_id = {p.plane_id: p for p in evt.planes}
+            score_planes = []
             for pi, pid in enumerate(planes):
                 row = bi * rows_per_event + pi
                 data_img = batch["data"][row, ..., 0]
@@ -79,6 +99,33 @@ def run_inference(
                 out_label.append(label_img[mask].astype(np.int32))
                 n_correct_nonzero += int((pred[row][mask] == label_img[mask]).sum())
                 n_nonzero += int(mask.sum())
+                if fmt == "usef":
+                    # map scores back to ORIGINAL detector coordinates via
+                    # the same crop window the model saw
+                    pl = by_id[pid]
+                    shifted, inwin = crop_or_pad_coords(
+                        pl.coords, pl.shape, cfg.data.image_size,
+                        values=pl.values)
+                    win = tuple(shifted[inwin].T)
+                    orig = pl.coords[inwin].astype(np.int32)
+                    sc = scores[row][win]           # (npix, num_class)
+                    pr = pred[row][win].astype(np.uint8)
+                    for cls in range(num_class):
+                        score_planes.append(ev.SparsePlane(
+                            plane_id=score_plane_id(pid, cls, num_class),
+                            shape=tuple(pl.shape),
+                            coords=orig,
+                            values=sc[:, cls].astype(np.float32),
+                            labels=pr))
+            if fmt == "usef":
+                usef_events.append(ev.SparseEvent(planes=score_planes))
+
+    if fmt == "usef":
+        tmpu = output_file + ".tmp"
+        ev.write_events(tmpu, usef_events, ndims=trainer.cfg.model.dims)
+        os.replace(tmpu, output_file)
+        acc_nz = n_correct_nonzero / max(n_nonzero, 1)
+        return {"acc_nonzero": acc_nz, "n_events": n, "n_pixels": n_nonzero}
 
     result = {
         "event_id": np.concatenate(out_event) if out_event else np.zeros(0, np.int32),

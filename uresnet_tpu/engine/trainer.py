@@ -321,7 +321,7 @@ class Trainer:
                     logger.log(step, m)
                     last = m
                 if cfg.train.val_iter and step % cfg.train.val_iter == 0:
-                    vm = self.validate(ts, num_batches=2)
+                    vm = self.validate(ts, num_batches=cfg.train.val_batches)
                     val_logger.log(step, vm)
                 if cfg.train.checkpoint_iter and step % cfg.train.checkpoint_iter == 0:
                     self.save(ts, step, cursor_now)

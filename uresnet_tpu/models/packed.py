@@ -133,8 +133,9 @@ def uresnet_apply_packed(
         return (cfg.pack_extra_h and dims == 2 and packed_level(lvl)
                 and P * cfg.base_filters * (2 ** lvl) <= 64)
 
-    def level(fn):
-        return jax.checkpoint(fn) if cfg.remat else fn
+    from uresnet_tpu.models.uresnet import remat_wrappers
+
+    level, block = remat_wrappers(cfg.remat)
 
     def run_blocks(prefix, h, packed, first_in_splits=None, hpack=False):
         sub = {}
@@ -144,12 +145,13 @@ def uresnet_apply_packed(
             name = f"{prefix}_b{b}"
             splits = first_in_splits if b == 0 else None
             if packed:
-                h, sub[name] = _resblock_packed(ctx, params[name], state[name],
-                                                h, train=train,
-                                                in_splits=splits, hpack=hpack)
+                fn = lambda hh, name=name, splits=splits: _resblock_packed(
+                    ctx, params[name], state[name], hh, train=train,
+                    in_splits=splits, hpack=hpack)
             else:
-                h, sub[name] = resblock_apply(ctx, params[name], state[name],
-                                              h, train=train)
+                fn = lambda hh, name=name: resblock_apply(
+                    ctx, params[name], state[name], hh, train=train)
+            h, sub[name] = block(fn)(h)
         if hpack:
             h = d2s_h(h)
         return h, sub
@@ -175,11 +177,13 @@ def uresnet_apply_packed(
             skip = h
             name = f"down{lvl}"
             if pk:
-                hs, s = _conv_bn_packed(ctx, params[name], state[name], h,
-                                        train=train, mode="down")
+                dn = lambda hh: _conv_bn_packed(ctx, params[name],
+                                                state[name], hh, train=train,
+                                                mode="down")
             else:
-                hs, s = conv_bn_apply(ctx, params[name], state[name], h,
-                                      stride=2, train=train)
+                dn = lambda hh: conv_bn_apply(ctx, params[name], state[name],
+                                              hh, stride=2, train=train)
+            hs, s = block(dn)(h)
             sub[name] = s
             return hs, skip, sub
 
@@ -199,8 +203,9 @@ def uresnet_apply_packed(
             name = f"up{lvl}"
             sub = {}
             if pk:
-                h, s = _conv_bn_packed(ctx, params[name], state[name], h,
-                                       train=train, mode="up")
+                h, s = block(
+                    lambda hh: _conv_bn_packed(ctx, params[name], state[name],
+                                               hh, train=train, mode="up"))(h)
                 sub[name] = s
                 skip_p = (skip if skips_packed[lvl]
                           else space_to_depth(skip, dims=dims))
@@ -216,13 +221,17 @@ def uresnet_apply_packed(
                 # beats lax.conv_transpose: the packed 2^dims-tap conv + d2s
                 # does 2^dims/ (3/2)^dims fewer MACs than the lhs-dilated
                 # form and identical numerics (tests/test_pack.py).
-                w = params[name]["conv"]["w"]
-                y = conv_packed(h, pack_weight_up(w, dims), padding=(1, 0),
-                                dims=dims, compute_dtype=ctx.compute_dtype,
-                                precision=_precision(ctx.compute_dtype))
-                h = depth_to_space(y, dims=dims)
-                h, s = ctx.bn(h, params[name]["bn"], state[name]["bn"], train)
-                h = jax.nn.relu(h)
+                def up(hh):
+                    w = params[name]["conv"]["w"]
+                    y = conv_packed(hh, pack_weight_up(w, dims),
+                                    padding=(1, 0), dims=dims,
+                                    compute_dtype=ctx.compute_dtype,
+                                    precision=_precision(ctx.compute_dtype))
+                    y = depth_to_space(y, dims=dims)
+                    y, s = ctx.bn(y, params[name]["bn"], state[name]["bn"],
+                                  train)
+                    return jax.nn.relu(y), s
+                h, s = block(up)(h)
                 sub[name] = {"bn": s}
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
                 h, bsub = run_blocks(f"dec{lvl}", h, False)

@@ -44,6 +44,24 @@ Params = Dict[str, Any]
 State = Dict[str, Any]
 
 
+def remat_wrappers(remat):
+    """(level, block) wrappers for cfg.remat: False | True/'level' | 'block'.
+
+    'level' checkpoints each U-Net level (saves only level inputs; the whole
+    level is recomputed — and all its intermediates are live — during its
+    backward). 'block' checkpoints each resblock/down/up stage instead:
+    more saved boundaries but a much smaller recompute working set, which is
+    what bounds peak HBM during the backward of the high-resolution levels
+    (SURVEY.md §7 hard part #5)."""
+    mode = remat if isinstance(remat, str) else ("level" if remat else "none")
+    if mode not in ("none", "level", "block"):
+        raise ValueError(f"unknown remat mode {remat!r}")
+    ident = lambda fn: fn
+    level = jax.checkpoint if mode == "level" else ident
+    block = jax.checkpoint if mode == "block" else ident
+    return level, block
+
+
 def _ctx(cfg: ModelConfig, axis_name: Optional[str] = None) -> BlockCtx:
     return BlockCtx(
         dims=cfg.dims,
@@ -122,17 +140,15 @@ def uresnet_apply(
                                     axis_name=axis_name)
     ctx = _ctx(cfg, axis_name)
     new_state: State = {}
-
-    def level(fn):
-        # Rematerialize each level's activations on the backward pass.
-        return jax.checkpoint(fn) if cfg.remat else fn
+    level, block = remat_wrappers(cfg.remat)
 
     def run_blocks(prefix: str, h):
         sub = {}
         for b in range(cfg.blocks_per_level):
             name = f"{prefix}_b{b}"
-            h, sub[name] = resblock_apply(ctx, params[name], state[name], h,
-                                          train=train)
+            h, sub[name] = block(
+                lambda hh, name=name: resblock_apply(
+                    ctx, params[name], state[name], hh, train=train))(h)
         return h, sub
 
     h, new_state["stem"] = conv_bn_apply(ctx, params["stem"], state["stem"],
@@ -144,8 +160,9 @@ def uresnet_apply(
             h, sub = run_blocks(f"enc{lvl}", h)
             skip = h
             name = f"down{lvl}"
-            h, s = conv_bn_apply(ctx, params[name], state[name], h, stride=2,
-                                 train=train)
+            h, s = block(
+                lambda hh: conv_bn_apply(ctx, params[name], state[name], hh,
+                                         stride=2, train=train))(h)
             sub[name] = s
             return h, skip, sub
         h, skip, sub = level(enc)(h)
@@ -158,8 +175,10 @@ def uresnet_apply(
     for lvl in reversed(range(cfg.depth)):
         def dec(h, skip, lvl=lvl):
             name = f"up{lvl}"
-            h, s = conv_bn_apply(ctx, params[name], state[name], h, stride=2,
-                                 train=train, transpose=True)
+            h, s = block(
+                lambda hh: conv_bn_apply(ctx, params[name], state[name], hh,
+                                         stride=2, train=train,
+                                         transpose=True))(h)
             sub = {name: s}
             h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
             h, bsub = run_blocks(f"dec{lvl}", h)

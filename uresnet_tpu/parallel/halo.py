@@ -51,6 +51,14 @@ def halo_exchange(
     `hi` slices from the next (zeros at the global boundary)."""
     if lo == 0 and hi == 0:
         return x
+    if max(lo, hi) > x.shape[axis]:
+        # halos are fetched from IMMEDIATE neighbors only; a kernel whose
+        # receptive field spans more than one neighboring shard would need
+        # multi-hop exchange (not a U-ResNet op — fail loudly, SURVEY.md §4)
+        raise ValueError(
+            f"halo ({lo},{hi}) exceeds the local shard extent "
+            f"{x.shape[axis]} along axis {axis}; use fewer 'spatial' shards "
+            f"or a smaller kernel")
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
 
