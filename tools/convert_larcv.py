@@ -15,10 +15,20 @@ Usage (inside a larcv environment):
     python tools/convert_larcv.py input.root output.usef \
         --image-producer wire --label-producer segment [--planes 0 1 2]
 
-Mapping per event/plane:
+Mapping per event/plane (2D, --mode 2d):
     Image2D(wire)    -> sparse (coords, values) at pixels with value != 0
     Image2D(segment) -> labels at the same coordinates (uint8)
     meta rows/cols   -> plane shape
+    empty planes     -> zero-point USEF planes (kept, not dropped — the
+                        loader's crop handles them; tests/test_convert.py)
+
+Mapping per event (3D, --mode 3d):
+    SparseTensor3D(data producer)  -> voxel (x,y,z) coords + values
+    SparseTensor3D(label producer) -> labels looked up by voxel id (voxels
+                                      missing from the label set get 0)
+    Voxel3DMeta num_voxel_x/y/z    -> volume shape
+    voxel id convention: id = x + nx*(y + ny*z) (larcv Voxel3DMeta::index,
+    x fastest) [K:med — re-verify against a real larcv build]
 """
 
 from __future__ import annotations
@@ -66,6 +76,42 @@ def convert(io, image_producer: str, label_producer: str, planes,
     return events_out
 
 
+def convert_3d(io, data_producer: str, label_producer: str, events_out):
+    """3D mapping loop (EventSparseTensor3D products).
+
+    `io` must provide get_data("sparse3d", producer) -> object with
+    .as_vector() of voxel-likes (.id() flat index, .value()) and .meta()
+    with .num_voxel_x()/.num_voxel_y()/.num_voxel_z(). Voxel ids decode as
+    id = x + nx*(y + ny*z) (x fastest — larcv Voxel3DMeta::index [K:med]).
+    """
+    import numpy as np
+
+    from uresnet_tpu.data.events import SparseEvent, SparsePlane
+
+    n = io.get_n_entries()
+    for i in range(n):
+        io.read_entry(i)
+        vox = io.get_data("sparse3d", data_producer)
+        lab = io.get_data("sparse3d", label_producer)
+        meta = vox.meta()
+        nx, ny, nz = (meta.num_voxel_x(), meta.num_voxel_y(),
+                      meta.num_voxel_z())
+        ids = np.array([v.id() for v in vox.as_vector()], dtype=np.int64)
+        values = np.array([v.value() for v in vox.as_vector()],
+                          dtype=np.float32)
+        lab_by_id = {int(v.id()): int(v.value()) for v in lab.as_vector()}
+        labels = np.array([lab_by_id.get(int(i), 0) for i in ids],
+                          dtype=np.uint8)
+        x = ids % nx
+        y = (ids // nx) % ny
+        z = ids // (nx * ny)
+        coords = np.stack([x, y, z], axis=1).astype(np.int32)
+        events_out.append(SparseEvent([SparsePlane(
+            plane_id=0, shape=(int(nx), int(ny), int(nz)),
+            coords=coords, values=values, labels=labels)]))
+    return events_out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("input")
@@ -73,6 +119,8 @@ def main(argv=None):
     p.add_argument("--image-producer", default="wire")
     p.add_argument("--label-producer", default="segment")
     p.add_argument("--planes", type=int, nargs="*", default=None)
+    p.add_argument("--mode", default="2d", choices=("2d", "3d"),
+                   help="2d: EventImage2D planes; 3d: EventSparseTensor3D")
     args = p.parse_args(argv)
 
     try:
@@ -89,9 +137,13 @@ def main(argv=None):
     io = larcv.IOManager(larcv.IOManager.kREAD)
     io.add_in_file(args.input)
     io.initialize()
-    events = convert(io, args.image_producer, args.label_producer,
-                     set(args.planes or []), [])
-    write_events(args.output, events, ndims=2)
+    if args.mode == "3d":
+        events = convert_3d(io, args.image_producer, args.label_producer, [])
+        write_events(args.output, events, ndims=3)
+    else:
+        events = convert(io, args.image_producer, args.label_producer,
+                         set(args.planes or []), [])
+        write_events(args.output, events, ndims=2)
     print(f"wrote {len(events)} events -> {args.output}")
     return 0
 
