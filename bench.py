@@ -8,6 +8,13 @@ denominator is our own measured CPU-JAX reference-equivalent throughput
 stored in benchmarks/baseline_cpu.json (see that file's provenance note);
 the driver-set north star is >=5x a reference-era chip.
 
+CAVEAT on vs_baseline: the denominator is a 1-core CPU run (0.058 img/s) —
+the only reference-equivalent this machine can measure — so the printed
+multiplier is in the thousands. The REALISTIC reference bar is a
+reference-era training GPU (Titan-X/P100 class, [K:low] estimate: tens of
+img/s at this shape); against that the 201 img/s/chip result is roughly
+5-15x, which is the honest reading of the north-star ">=5x" gate.
+
 Usage: python bench.py            # full 512x512 training benchmark
        python bench.py --quick    # smaller shape, for smoke runs
 """
@@ -28,6 +35,13 @@ def main():
     p.add_argument("--size", type=int, default=None)
     p.add_argument("--no-pack", action="store_true",
                    help="disable the space-to-depth packed fast path")
+    p.add_argument("--no-pack-extra-h", action="store_true",
+                   help="disable the resident H-pack (default ON: "
+                        "151.7 -> 201.0 img/s/chip at 512^2/base16)")
+    p.add_argument("--remat", default=None,
+                   help="remat mode: false|level|block (default: block "
+                        "for 3D, off for 2D)")
+    p.add_argument("--base-filters", type=int, default=16)
     p.add_argument("--dims", type=int, default=2, choices=(2, 3),
                    help="3 = 3D U-ResNet on volumes (BASELINE config 4)")
     p.add_argument("--infer", action="store_true",
@@ -55,12 +69,17 @@ def main():
         depth = 5
     steps = args.steps if not args.quick else min(args.steps, 5)
 
+    remat = ("block" if args.dims == 3 else False) if args.remat is None \
+        else ({"false": False, "true": True}.get(args.remat.lower(),
+                                                 args.remat))
     cfg = Config(
-        model=ModelConfig(dims=args.dims, num_class=3, base_filters=16,
+        model=ModelConfig(dims=args.dims, num_class=3,
+                          base_filters=args.base_filters,
                           depth=depth,
                           compute_dtype="bfloat16" if on_tpu else "float32",
                           pack=not args.no_pack,
-                          remat=args.dims == 3),
+                          pack_extra_h=not args.no_pack_extra_h,
+                          remat=remat),
         data=DataConfig(image_size=size, batch_size=batch, planes=(0,)),
         optim=OptimConfig(lr=1e-3),
         train=TrainConfig(seed=0),

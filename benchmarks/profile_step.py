@@ -28,6 +28,7 @@ def main():
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--outdir", default="/tmp/uresnet_profile")
+    p.add_argument("--pack-extra-h", action="store_true")
     args = p.parse_args()
 
     from uresnet_tpu.config import Config, DataConfig, ModelConfig

@@ -139,3 +139,39 @@ def test_packed_concat_matches(rng, data):
                                      compute_dtype=jnp.float32, precision=HI))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_packed_down_h_matches(rng):
+    """H-pack-resident down conv: consumes H-PACKED packed input, emits the
+    H-PACKED canonical stride-2 down output (k=2 pad (0,1) on both grids)."""
+    from uresnet_tpu.ops.pack import d2s_h, pack_weight_down_h, s2d_h
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 5)).astype(np.float32) * .2)
+    want = ref_conv(x, w, s=2)                   # (2, 8, 8, 5)
+    xp = space_to_depth(x)                       # (2, 8, 8, 12)
+    xh = s2d_h(xp)                               # (2, 4, 8, 24)
+    wdh = pack_weight_down_h(pack_weight_down(w))
+    assert wdh.shape == (2, 2, 24, 10)
+    got = d2s_h(conv_packed(xh, wdh, padding=(0, 1),
+                            compute_dtype=jnp.float32, precision=HI))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_packed_up_h_matches(rng):
+    """H-pack-resident up conv: consumes the UNPACKED coarse input, emits
+    the H-PACKED packed transpose-conv output (k=3 H-stride-2 pad (1,0))."""
+    from uresnet_tpu.ops.pack import d2s_h, pack_weight_up_h
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 4)).astype(np.float32) * .2)
+    want = ref_convt(x, w)                       # (2, 16, 16, 4)
+    wuh = pack_weight_up_h(pack_weight_up(w))
+    assert wuh.shape == (3, 2, 6, 32)
+    goth = conv_packed(x, wuh, padding=((1, 0), (1, 0)), stride=(2, 1),
+                       compute_dtype=jnp.float32, precision=HI)
+    assert goth.shape == (2, 4, 8, 32)           # H-packed packed output
+    got = depth_to_space(d2s_h(goth))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)

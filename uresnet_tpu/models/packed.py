@@ -36,7 +36,8 @@ from uresnet_tpu.ops.conv import _precision, conv
 from uresnet_tpu.ops.pack import (conv_packed, d2s_h, depth_to_space,
                                   pack_weight_concat, pack_weight_conv,
                                   pack_weight_conv_h, pack_weight_down,
-                                  pack_weight_up, s2d_h, space_to_depth)
+                                  pack_weight_down_h, pack_weight_up,
+                                  pack_weight_up_h, s2d_h, space_to_depth)
 
 Params = Dict[str, Any]
 State = Dict[str, Any]
@@ -50,19 +51,33 @@ def _bn_packed(ctx: BlockCtx, p, s, x, train, phases: int):
     return y.reshape(x.shape), ns
 
 
+def _pack_same_w(w, dims, in_splits, hpack, splits_hpacked):
+    """Packed (optionally H-packed) stride-1 kernel, honoring concat input
+    layout: transient hpack concats BEFORE s2d_h (H phases span the whole
+    concat -> conv_h of the concat-packed kernel); resident hpack concats
+    ALREADY-H-packed tensors (H phases are per-tensor -> conv_h per slice,
+    then concat)."""
+    if in_splits and hpack and splits_hpacked:
+        return jnp.concatenate(
+            [pack_weight_conv_h(pack_weight_conv(w[..., a:b, :], dims))
+             for a, b in in_splits], axis=-2)
+    wp = (pack_weight_concat([w[..., a:b, :] for a, b in in_splits], dims)
+          if in_splits else pack_weight_conv(w, dims))
+    return pack_weight_conv_h(wp) if hpack else wp
+
+
 def _conv_bn_packed(ctx, params, state, x, *, train, relu=True,
-                    mode="same", in_splits=None, hpack=False):
-    """Packed conv + BN + ReLU. mode: 'same' | 'down' | 'up'.
+                    mode="same", in_splits=None, hpack=False,
+                    splits_hpacked=False):
+    """Packed conv + BN + ReLU. mode: 'same' | 'down' | 'up' |
+    'down_h' (H-packed in AND out) | 'up_h' (unpacked in, H-packed out).
     hpack (2D only): input/output carry an extra H phase."""
     w = params["conv"]["w"]
     dims = ctx.dims
     P = 2 ** dims
     prec = _precision(ctx.compute_dtype)
     if mode == "same":
-        wp = (pack_weight_concat([w[..., a:b, :] for a, b in in_splits], dims)
-              if in_splits else pack_weight_conv(w, dims))
-        if hpack:
-            wp = pack_weight_conv_h(wp)
+        wp = _pack_same_w(w, dims, in_splits, hpack, splits_hpacked)
         y = conv_packed(x, wp, padding="SAME", dims=dims,
                         compute_dtype=ctx.compute_dtype, precision=prec)
         y, ns = _bn_packed(ctx, params["bn"], state["bn"], y, train,
@@ -72,11 +87,25 @@ def _conv_bn_packed(ctx, params, state, x, *, train, relu=True,
                         dims=dims, compute_dtype=ctx.compute_dtype,
                         precision=prec)
         y, ns = ctx.bn(y, params["bn"], state["bn"], train)  # unpacked out
+    elif mode == "down_h":
+        # consumes H-packed packed input; emits the H-PACKED down output
+        y = conv_packed(x, pack_weight_down_h(pack_weight_down(w, dims)),
+                        padding=(0, 1), dims=dims,
+                        compute_dtype=ctx.compute_dtype, precision=prec)
+        y, ns = _bn_packed(ctx, params["bn"], state["bn"], y, train,
+                           phases=2)
     elif mode == "up":
         y = conv_packed(x, pack_weight_up(w, dims), padding=(1, 0),
                         dims=dims, compute_dtype=ctx.compute_dtype,
                         precision=prec)
         y, ns = _bn_packed(ctx, params["bn"], state["bn"], y, train, phases=P)
+    elif mode == "up_h":
+        # consumes the UNPACKED coarse input; emits H-packed packed output
+        y = conv_packed(x, pack_weight_up_h(pack_weight_up(w, dims)),
+                        padding=((1, 0), (1, 0)), stride=(2, 1), dims=dims,
+                        compute_dtype=ctx.compute_dtype, precision=prec)
+        y, ns = _bn_packed(ctx, params["bn"], state["bn"], y, train,
+                           phases=2 * P)
     else:
         raise ValueError(mode)
     if relu:
@@ -85,19 +114,16 @@ def _conv_bn_packed(ctx, params, state, x, *, train, relu=True,
 
 
 def _resblock_packed(ctx, params, state, x, *, train, in_splits=None,
-                     hpack=False):
+                     hpack=False, splits_hpacked=False):
     y, s1 = _conv_bn_packed(ctx, params["cb1"], state["cb1"], x, train=train,
-                            in_splits=in_splits, hpack=hpack)
+                            in_splits=in_splits, hpack=hpack,
+                            splits_hpacked=splits_hpacked)
     y, s2 = _conv_bn_packed(ctx, params["cb2"], state["cb2"], y, train=train,
                             relu=False, hpack=hpack)
     shortcut = x
     if "proj" in params:
-        w = params["proj"]["w"]
-        wp = (pack_weight_concat([w[..., a:b, :] for a, b in in_splits],
-                                 ctx.dims)
-              if in_splits else pack_weight_conv(w, ctx.dims))
-        if hpack:
-            wp = pack_weight_conv_h(wp)
+        wp = _pack_same_w(params["proj"]["w"], ctx.dims, in_splits, hpack,
+                          splits_hpacked)
         shortcut = conv_packed(x, wp, padding="SAME", dims=ctx.dims,
                                compute_dtype=ctx.compute_dtype,
                                precision=_precision(ctx.compute_dtype))
@@ -136,10 +162,19 @@ def uresnet_apply_packed(
     from uresnet_tpu.models.uresnet import remat_wrappers
 
     level, block = remat_wrappers(cfg.remat)
+    # Residency (round 2, bench-driven): at the OUTERMOST level the hpack
+    # layout stays resident across stem -> enc0 blocks -> down0 and
+    # up0 -> dec0 blocks -> head (pack_weight_{down,up}_h / conv_h-packed
+    # stem+head), eliminating the per-run s2d_h/d2s_h relayouts and running
+    # those convs at 2x the lanes too.
+    resident = hpack_level(0)
 
-    def run_blocks(prefix, h, packed, first_in_splits=None, hpack=False):
+    def run_blocks(prefix, h, packed, first_in_splits=None, hpack=False,
+                   res=False, splits_hpacked=False):
+        """`hpack`: blocks run in H-packed layout. `res`: the input/output
+        already ARE H-packed (resident) — skip the transient relayouts."""
         sub = {}
-        if hpack:
+        if hpack and not res:
             h = s2d_h(h)
         for b in range(cfg.blocks_per_level):
             name = f"{prefix}_b{b}"
@@ -147,20 +182,23 @@ def uresnet_apply_packed(
             if packed:
                 fn = lambda hh, name=name, splits=splits: _resblock_packed(
                     ctx, params[name], state[name], hh, train=train,
-                    in_splits=splits, hpack=hpack)
+                    in_splits=splits, hpack=hpack,
+                    splits_hpacked=splits_hpacked)
             else:
                 fn = lambda hh, name=name: resblock_apply(
                     ctx, params[name], state[name], hh, train=train)
             h, sub[name] = block(fn)(h)
-        if hpack:
+        if hpack and not res:
             h = d2s_h(h)
         return h, sub
 
     # stem
     if packed_level(0):
         h = space_to_depth(x, dims=dims)
+        if resident:
+            h = s2d_h(h)
         h, s = _conv_bn_packed(ctx, params["stem"], state["stem"], h,
-                               train=train)
+                               train=train, hpack=resident)
     else:
         h, s = conv_bn_apply(ctx, params["stem"], state["stem"], x,
                              train=train)
@@ -171,19 +209,23 @@ def uresnet_apply_packed(
         pk = packed_level(lvl)
 
         def enc(h, lvl=lvl, pk=pk):
+            res_lvl = resident and lvl == 0
             if pk and not (lvl == 0 and packed_level(0)):
                 h = space_to_depth(h, dims=dims)
-            h, sub = run_blocks(f"enc{lvl}", h, pk, hpack=hpack_level(lvl))
-            skip = h
+            h, sub = run_blocks(f"enc{lvl}", h, pk, hpack=hpack_level(lvl),
+                                res=res_lvl)
+            skip = h          # res_lvl: saved H-PACKED (dec0 consumes as-is)
             name = f"down{lvl}"
             if pk:
-                dn = lambda hh: _conv_bn_packed(ctx, params[name],
-                                                state[name], hh, train=train,
-                                                mode="down")
+                dn = lambda hh: _conv_bn_packed(
+                    ctx, params[name], state[name], hh, train=train,
+                    mode="down_h" if res_lvl else "down")
             else:
                 dn = lambda hh: conv_bn_apply(ctx, params[name], state[name],
                                               hh, stride=2, train=train)
             hs, s = block(dn)(h)
+            if res_lvl:       # hand the next level the canonical layout
+                hs = d2s_h(hs)
             sub[name] = s
             return hs, skip, sub
 
@@ -202,10 +244,12 @@ def uresnet_apply_packed(
         def dec(h, skip, lvl=lvl, pk=pk, fl=fl):
             name = f"up{lvl}"
             sub = {}
+            res_lvl = resident and lvl == 0
             if pk:
                 h, s = block(
-                    lambda hh: _conv_bn_packed(ctx, params[name], state[name],
-                                               hh, train=train, mode="up"))(h)
+                    lambda hh: _conv_bn_packed(
+                        ctx, params[name], state[name], hh, train=train,
+                        mode="up_h" if res_lvl else "up"))(h)
                 sub[name] = s
                 skip_p = (skip if skips_packed[lvl]
                           else space_to_depth(skip, dims=dims))
@@ -213,7 +257,8 @@ def uresnet_apply_packed(
                 splits = ((0, fl), (fl, 2 * fl))
                 h, bsub = run_blocks(f"dec{lvl}", h, True,
                                      first_in_splits=splits,
-                                     hpack=hpack_level(lvl))
+                                     hpack=hpack_level(lvl), res=res_lvl,
+                                     splits_hpacked=res_lvl)
                 if lvl != 0:
                     h = depth_to_space(h, dims=dims)
             else:
@@ -243,12 +288,17 @@ def uresnet_apply_packed(
 
     if packed_level(0):
         wp = pack_weight_conv(params["head"]["w"], dims)
+        if resident:
+            wp = pack_weight_conv_h(wp)
         logits = conv_packed(h, wp, padding="SAME", dims=dims,
                              compute_dtype=ctx.compute_dtype,
                              precision=_precision(ctx.compute_dtype))
         if "b" in params["head"]:
             bias = params["head"]["b"]
-            logits = logits + jnp.tile(bias, P).astype(logits.dtype)
+            logits = logits + jnp.tile(bias, 2 * P if resident else P) \
+                .astype(logits.dtype)
+        if resident:
+            logits = d2s_h(logits)
         logits = depth_to_space(logits, dims=dims)
     else:
         logits = conv(h, params["head"], dims=dims,

@@ -129,6 +129,25 @@ def _dim_tables(kind: str, k: int):
         dy = np.full((kp, pi, po), -1)
         for (a, pv), d in {(0, 0): 0, (1, 0): 2, (1, 1): 1}.items():
             dy[a, 0, pv] = d
+    elif kind == "down_h":
+        # H-pack BOTH sides of the packed-down H kernel (k=2, pad (0,1),
+        # stride 1): ydh[v] = (yd[2v], yd[2v+1]) reads xh[v+a] phase u via
+        # down-tap dy = 2a + u - p. Stays k=2, pad (0,1), stride 1 on the
+        # hpack grid; output is the H-packed down result.
+        kp, pi, po = 2, R, R
+        A = np.arange(kp)[:, None, None]
+        pp = np.arange(pi)[None, :, None]
+        p = np.arange(po)[None, None, :]
+        dy = 2 * A + pp - p
+    elif kind == "up_h":
+        # H-pack the OUTPUT of the packed-up H kernel (k=2, pad (1,0),
+        # stride 1): yuh[v] = (yu[2v], yu[2v+1]) reads the UNPACKED coarse
+        # input x[2v + A - 1], A in 0..2 — i.e. a k=3 STRIDE-2 pad (1,0)
+        # conv on the coarse grid; up-tap dy = A - p.
+        kp, pi, po = 3, 1, R
+        A = np.arange(kp)[:, None, None]
+        p = np.arange(po)[None, None, :]
+        dy = np.broadcast_to(A - p, (kp, pi, po)).copy()
     else:
         raise ValueError(kind)
     valid = (dy >= 0) & (dy < k)
@@ -181,14 +200,35 @@ def d2s_h(x: jax.Array) -> jax.Array:
         B, Hp * 2, W, C)
 
 
+def _pack_h_kind(w: jax.Array, kind: str) -> jax.Array:
+    """Apply an H-dim pack table to a 2D kernel's H taps (W taps kept)."""
+    k, kw, ci, co = w.shape
+    T = jnp.asarray(_dim_T(kind, k), w.dtype)      # (kp, pi, po, k)
+    out = jnp.einsum("aupd,dxio->axuipo", T, w)
+    return out.reshape(T.shape[0], kw, T.shape[1] * ci, T.shape[2] * co)
+
+
 def pack_weight_conv_h(w: jax.Array) -> jax.Array:
     """H-only factor-2 pack of a stride-1 SAME odd-k 2D kernel:
     (k,k,Ci,Co) -> (k,k,2Ci,2Co). Applies to already-packed kernels too
     (any stride-1 SAME conv), so it composes with pack_weight_conv."""
-    k, kw, ci, co = w.shape
-    T = jnp.asarray(_dim_T("same", k), w.dtype)    # (k, 2, 2, k)
-    out = jnp.einsum("aupd,dxio->axuipo", T, w)
-    return out.reshape(k, kw, 2 * ci, 2 * co)
+    return _pack_h_kind(w, "same")
+
+
+def pack_weight_down_h(wp: jax.Array) -> jax.Array:
+    """H-pack a packed-down 2D kernel (from pack_weight_down): consumes
+    H-PACKED input, emits the H-PACKED down output. (2,2,P*Ci,Co) ->
+    (2,2,2*P*Ci,2*Co); apply with padding (0,1), stride 1; follow with
+    d2s_h for the canonical (S/2)^2 down output."""
+    return _pack_h_kind(wp, "down_h")
+
+
+def pack_weight_up_h(wu: jax.Array) -> jax.Array:
+    """H-pack a packed-up 2D kernel's OUTPUT (from pack_weight_up):
+    consumes the UNPACKED coarse input, emits H-PACKED packed output.
+    (2,2,Ci,P*Co) -> (3,2,Ci,2*P*Co); apply with H stride 2, padding
+    ((1,0),(1,0))."""
+    return _pack_h_kind(wu, "up_h")
 
 
 # -- packed conv wrappers ----------------------------------------------------
@@ -199,7 +239,8 @@ def conv_packed(xp, wp, *, padding, stride=1, dims=2, compute_dtype,
     dn = ("NHWC", "HWIO", "NHWC") if dims == 2 else ("NDHWC", "DHWIO", "NDHWC")
     if isinstance(padding, tuple) and isinstance(padding[0], int):
         padding = (padding,) * dims
+    strides = stride if isinstance(stride, tuple) else (stride,) * dims
     return lax.conv_general_dilated(
         xp.astype(compute_dtype), wp.astype(compute_dtype),
-        window_strides=(stride,) * dims, padding=padding,
+        window_strides=strides, padding=padding,
         dimension_numbers=dn, precision=precision)
