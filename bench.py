@@ -197,6 +197,10 @@ def main():
         "value": round(images_per_sec_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else 0.0,
+        "baseline_note": ("denominator is our measured 1-core CPU-JAX "
+                          "reference-equivalent (reference publishes no "
+                          "numbers); vs a reference-era GPU estimate "
+                          "(tens of img/s) this is roughly 5-15x"),
     }))
 
 

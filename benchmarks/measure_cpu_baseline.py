@@ -8,7 +8,12 @@ milestone must measure its own baseline. This script runs the same flagship
 CPU backend and stores images/sec in benchmarks/baseline_cpu.json. The TPU
 bench (bench.py) reports vs_baseline against this number.
 
+BASELINE.json config 1 ("2D inference, 256x256, batch=1, CPU") is measured
+as written with --infer --size 256 --batch 1; the result is stored under
+infer_images_per_sec_<size> in the same file.
+
 Run: python benchmarks/measure_cpu_baseline.py [--size 512] [--steps 3]
+     python benchmarks/measure_cpu_baseline.py --infer --size 256 --batch 1
 """
 
 import argparse
@@ -36,6 +41,9 @@ def main():
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--infer", action="store_true",
+                   help="measure the inference forward (BASELINE config 1: "
+                        "--infer --size 256 --batch 1)")
     args = p.parse_args()
 
     cfg = Config(
@@ -52,12 +60,22 @@ def main():
         "label": rng.integers(0, 3, (args.batch, args.size, args.size)).astype(np.int32),
         "weight": np.ones((args.batch, args.size, args.size), np.float32),
     })
-    ts, m = trainer.train_step(ts, batch)      # compile
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        ts, m = trainer.train_step(ts, batch)
-    jax.block_until_ready(m["loss"])
+    if args.infer:
+        s = trainer.forward(ts, batch["data"])      # compile
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            s = trainer.forward(ts, batch["data"])
+        jax.block_until_ready(s)
+        key_prefix = "infer"
+    else:
+        ts, m = trainer.train_step(ts, batch)      # compile
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            ts, m = trainer.train_step(ts, batch)
+        jax.block_until_ready(m["loss"])
+        key_prefix = "train"
     dt = time.perf_counter() - t0
     ips = args.batch * args.steps / dt
 
@@ -67,9 +85,9 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
-    data[f"train_images_per_sec_{args.size}"] = round(ips, 4)
+    data[f"{key_prefix}_images_per_sec_{args.size}"] = round(ips, 4)
     data["provenance"] = (
-        "CPU-JAX reference-equivalent 2D train step (f32, depth5/base16), "
+        "CPU-JAX reference-equivalent 2D steps (f32, depth5/base16), "
         "measured in this environment; the upstream reference publishes no "
         "numbers (BASELINE.md)")
     data["cpu_cores"] = os.cpu_count()

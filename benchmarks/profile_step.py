@@ -28,7 +28,9 @@ def main():
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--outdir", default="/tmp/uresnet_profile")
-    p.add_argument("--pack-extra-h", action="store_true")
+    p.add_argument("--no-pack-extra-h", action="store_true",
+                   help="profile without the resident H-pack (flagship "
+                        "default is ON, matching bench.py)")
     args = p.parse_args()
 
     from uresnet_tpu.config import Config, DataConfig, ModelConfig
@@ -37,7 +39,8 @@ def main():
 
     cfg = Config(
         model=ModelConfig(base_filters=16, depth=5,
-                          compute_dtype="bfloat16", pack=True),
+                          compute_dtype="bfloat16", pack=True,
+                          pack_extra_h=not args.no_pack_extra_h),
         data=DataConfig(image_size=args.size, batch_size=args.batch))
     tr = Trainer(cfg, mesh=make_mesh())
     ts = tr.init_state()

@@ -126,21 +126,10 @@ class CxxBatchLoader:
         # urd_open): rows = (batch_size/n_planes/shard_count) * n_planes.
         # Anything else makes the numpy views over- or under-run the slot
         # buffers.
+        from uresnet_tpu.data.loader import check_batch_geometry
+
         n_planes = len(cfg.planes)
-        if not 1 <= n_planes <= 8:
-            raise ValueError(f"planes must select 1..8 planes, got {n_planes}")
-        if cfg.batch_size < 1 or cfg.batch_size % n_planes:
-            raise ValueError(
-                f"batch_size ({cfg.batch_size}) must be a positive multiple "
-                f"of the number of selected planes ({n_planes}) — each event "
-                f"contributes one row per plane")
-        shard_count = max(shard[1], 1)
-        global_events = cfg.batch_size // n_planes
-        if global_events % shard_count:
-            raise ValueError(
-                f"events per batch ({global_events}) must be divisible by "
-                f"the host count ({shard_count})")
-        self._rows = (global_events // shard_count) * n_planes
+        self._rows = check_batch_geometry(cfg.batch_size, n_planes, shard[1])
         paths = list(files if files is not None else cfg.input_files)
         if not paths:
             raise ValueError("CxxBatchLoader requires input files")

@@ -75,6 +75,30 @@ def make_batch_loader(cfg: DataConfig, *, num_class: int = 3,
                        start_event=start_event, shard=shard)
 
 
+def check_batch_geometry(batch_size: int, n_planes: int,
+                         shard_count: int = 1) -> int:
+    """Validate the (batch_size, planes, hosts) geometry shared by BOTH
+    producers (this module and cxx_decoder.CxxBatchLoader, mirroring the
+    C++ slot allocation in decoder.cpp urd_open). Returns the LOCAL row
+    count: (batch_size / n_planes / shard_count) * n_planes. Raises
+    ValueError on any violation — also used by tests/test_configs.py to
+    keep every shipped config constructible."""
+    if not 1 <= n_planes <= 8:
+        raise ValueError(f"planes must select 1..8 planes, got {n_planes}")
+    if batch_size < 1 or batch_size % n_planes:
+        raise ValueError(
+            f"batch_size ({batch_size}) must be a positive multiple "
+            f"of the number of selected planes ({n_planes}) — each event "
+            f"contributes one row per plane")
+    shard_count = max(shard_count, 1)
+    global_events = batch_size // n_planes
+    if global_events % shard_count:
+        raise ValueError(
+            f"events per batch ({global_events}) must be divisible by "
+            f"the host count ({shard_count})")
+    return (global_events // shard_count) * n_planes
+
+
 _SM64_MASK = (1 << 64) - 1
 _SM64_GOLD = 0x9E3779B97F4A7C15
 
@@ -152,17 +176,9 @@ class BatchLoader:
         if not self._index:
             raise ValueError("no events in input files (after sharding)")
         rows_per_event = max(len(cfg.planes), 1)
-        if cfg.batch_size < 1 or cfg.batch_size % rows_per_event:
-            raise ValueError(
-                f"batch_size ({cfg.batch_size}) must be a positive multiple "
-                f"of the number of selected planes ({rows_per_event}) — each "
-                f"event contributes one row per plane")
-        global_events = cfg.batch_size // rows_per_event
-        if global_events % shard[1]:
-            raise ValueError(
-                f"events per batch ({global_events}) must be divisible by "
-                f"the host count ({shard[1]})")
-        self._events_per_batch = max(1, global_events // shard[1])
+        local_rows = check_batch_geometry(cfg.batch_size, rows_per_event,
+                                          shard[1])
+        self._events_per_batch = max(1, local_rows // rows_per_event)
         self._cursor = max(0, int(start_event))  # ABSOLUTE event position
         self._orders: Dict[int, np.ndarray] = {}  # epoch -> permutation
         self._order_lock = threading.Lock()
