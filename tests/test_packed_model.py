@@ -94,3 +94,84 @@ def test_packed_remat():
 
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree.leaves(g))
+
+
+# -- packed-loss fast path (round 2): the train loss/metrics consume the
+# head's PACKED logits; per-pixel math is layout-invariant, so loss and
+# grads must equal the canonical-logits path up to f32 reduction order.
+
+
+@pytest.mark.parametrize("extra_h", [False, True])
+def test_packed_logits_loss_equals_canonical(extra_h):
+    from uresnet_tpu.engine.losses import weighted_softmax_xent
+    from uresnet_tpu.models.packed import (loss_layout_phases,
+                                           pack_like_logits)
+
+    cfg = ModelConfig(depth=2, base_filters=4, num_class=3,
+                      compute_dtype="float32", pack=True,
+                      pack_extra_h=extra_h)
+    ph = loss_layout_phases(cfg)
+    assert ph == (8 if extra_h else 4)
+    params, state = uresnet_init(jax.random.PRNGKey(40), cfg)
+    key = jax.random.PRNGKey(41)
+    x = jax.random.uniform(key, (2, 16, 16, 1))
+    labels = jax.random.randint(jax.random.PRNGKey(42), (2, 16, 16), 0, 3)
+    weights = jax.random.uniform(jax.random.PRNGKey(43), (2, 16, 16)) + 0.5
+
+    def loss_canonical(p):
+        lg, _ = uresnet_apply(p, state, x, cfg=cfg, train=True)
+        return weighted_softmax_xent(lg, labels, weights)
+
+    def loss_packed(p):
+        lg, _ = uresnet_apply(p, state, x, cfg=cfg, train=True,
+                              packed_logits=True)
+        lg = lg.reshape(lg.shape[:-1] + (ph, cfg.num_class))
+        lab = pack_like_logits(labels[..., None], cfg)
+        w = pack_like_logits(weights[..., None], cfg)
+        return weighted_softmax_xent(lg, lab, w)
+
+    la, ga = jax.value_and_grad(loss_canonical)(params)
+    lb, gb = jax.value_and_grad(loss_packed)(params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_packed_loss_step_equals_canonical(tmp_path):
+    """Full Trainer train_step with train.packed_loss on/off: loss and
+    summary metrics agree (layout-invariant per-pixel reductions)."""
+    import dataclasses
+
+    from uresnet_tpu.config import Config, DataConfig, OptimConfig, TrainConfig
+    from uresnet_tpu.engine.trainer import Trainer
+    from uresnet_tpu.parallel.mesh import make_mesh
+
+    mk = dict(depth=2, base_filters=4, num_class=3,
+              compute_dtype="float32", pack=True, pack_extra_h=True)
+    rng = np.random.default_rng(0)
+    B, S = 2, 32
+    batch = {
+        "data": (rng.random((B, S, S, 1)) > 0.9).astype(np.float32),
+        "label": rng.integers(0, 3, (B, S, S)).astype(np.int32),
+        "weight": np.ones((B, S, S), np.float32),
+    }
+    out = {}
+    for packed in (False, True):
+        cfg = Config(
+            model=ModelConfig(**mk),
+            data=DataConfig(image_size=S, batch_size=B, planes=(0,)),
+            optim=OptimConfig(lr=1e-3),
+            train=TrainConfig(seed=3, packed_loss=packed),
+        )
+        tr = Trainer(cfg, mesh=make_mesh(1))
+        ts = tr.init_state()
+        ts2, m = tr.train_step(ts, tr._device_batch(batch))
+        out[packed] = (jax.device_get(m), jax.device_get(ts2.params))
+    ma, pa = out[False]
+    mb, pb = out[True]
+    for k in ma:
+        np.testing.assert_allclose(ma[k], mb[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=f"metric {k}")
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)

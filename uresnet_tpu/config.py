@@ -112,6 +112,17 @@ class TrainConfig:
     load_file: str = ""              # checkpoint path to restore
     seed: int = 123
     loss_normalize: str = "mean"     # 'mean' (reference: mean(w*xent)) | 'weight_sum'
+    packed_loss: bool = False        # train loss/metrics on the packed-head
+                                     # logits (skips the full-res d2s
+                                     # relayouts; per-pixel math is
+                                     # layout-invariant — models/packed.py
+                                     # loss_layout_phases). BENCH-GATED OFF:
+                                     # packing label/weight targets in-jit
+                                     # (C=1 transposes) costs more than the
+                                     # saved head d2s (-1.5% at 512^2/b32,
+                                     # benchmarks/RESULTS.md round 2); flip
+                                     # on if the data plane ever ships
+                                     # packed targets directly
 
 
 @dataclass

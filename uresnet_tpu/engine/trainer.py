@@ -92,13 +92,50 @@ class Trainer:
 
     # -- step functions ------------------------------------------------------
 
+    @property
+    def _loss_phases(self) -> int:
+        """>1 when the train loss runs on packed-head logits (the d2s-free
+        fast path; models/packed.py loss_layout_phases)."""
+        if not self.cfg.train.packed_loss:
+            return 1
+        from uresnet_tpu.models.packed import loss_layout_phases
+
+        return loss_layout_phases(self.cfg.model)
+
+    def _pack_target(self, x):
+        """(B, *S[, K]) per-pixel target -> packed-head layout
+        (B, *S', phases[, K]), matching the packed logits' phase order."""
+        from uresnet_tpu.models.packed import pack_like_logits
+
+        k = None if x.ndim == self.cfg.model.dims + 1 else x.shape[-1]
+        p = pack_like_logits(x[..., None] if k is None else x,
+                             self.cfg.model)
+        if k is None:
+            return p                              # (..., phases)
+        return p.reshape(p.shape[:-1] + (self._loss_phases, k))
+
     def _loss_fn(self, params, mstate, batch, train: bool):
+        """Returns (loss, ((logits, labels), new_state)) where logits/labels
+        are in the LOSS layout: canonical (B,*S,C)/(B,*S), or — on the
+        packed train path — (B,*S',phases,C)/(B,*S',phases). Per-pixel
+        losses and metrics are layout-invariant, so downstream consumers
+        (segmentation_metrics) work on either unchanged."""
+        packed = train and self._loss_phases > 1
         logits, new_mstate = uresnet_apply(
-            params, mstate, batch["data"], cfg=self.cfg.model, train=train)
+            params, mstate, batch["data"], cfg=self.cfg.model, train=train,
+            packed_logits=packed)
+        if packed:
+            ph = self._loss_phases
+            logits = logits.reshape(
+                logits.shape[:-1] + (ph, self.cfg.model.num_class))
+            labels = self._pack_target(batch["label"])
+            weights = self._pack_target(batch["weight"])
+        else:
+            labels, weights = batch["label"], batch["weight"]
         loss = weighted_softmax_xent(
-            logits, batch["label"], batch["weight"],
+            logits, labels, weights,
             normalize=self.cfg.train.loss_normalize)
-        return loss, (logits, new_mstate)
+        return loss, ((logits, labels), new_mstate)
 
     def _prepare(self, batch):
         """Sparse-transfer batches are densified ON DEVICE inside the jitted
@@ -126,24 +163,27 @@ class Trainer:
         key, k_aug = jax.random.split(ts.key)
         if self.cfg.data.augment:
             batch = augment_batch(k_aug, batch, dims=self.cfg.model.dims)
-        (loss, (logits, mstate)), grads = jax.value_and_grad(
+        (loss, ((logits, labels), mstate)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(ts.params, ts.model_state, batch, True)
         params, opt = adam_update(grads, ts.opt, ts.params, self.cfg.optim)
         # metrics (argmax + per-class IoU passes over the full batch) are
         # only read every summary_iter steps — the hot step skips them
         metrics = {"loss": loss}
         if with_metrics:
+            data = (self._pack_target(batch["data"])
+                    if logits.ndim != batch["data"].ndim else batch["data"])
             metrics.update(segmentation_metrics(
-                logits, batch["label"], batch["data"],
+                logits, labels, data,
                 num_class=self.cfg.model.num_class))
         new_ts = TrainState(params=params, model_state=mstate, opt=opt, key=key)
         return new_ts, metrics
 
     def _eval_step(self, ts: TrainState, batch) -> Dict:
         batch = self._prepare(batch)
-        loss, (logits, _) = self._loss_fn(ts.params, ts.model_state, batch, False)
+        loss, ((logits, labels), _) = self._loss_fn(
+            ts.params, ts.model_state, batch, False)
         metrics = segmentation_metrics(
-            logits, batch["label"], batch["data"],
+            logits, labels, batch["data"],
             num_class=self.cfg.model.num_class)
         metrics["loss"] = loss
         return metrics

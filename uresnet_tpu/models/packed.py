@@ -43,6 +43,43 @@ Params = Dict[str, Any]
 State = Dict[str, Any]
 
 
+def _packed_level(cfg: ModelConfig, lvl: int) -> bool:
+    return cfg.base_filters * (2 ** lvl) < cfg.pack_threshold
+
+
+def _hpack_level(cfg: ModelConfig, lvl: int) -> bool:
+    # extra H phase (2D only) when the packed channel count still underfills
+    # the 128 MXU lanes; resident at level 0 (see uresnet_apply_packed).
+    P = 2 ** cfg.dims
+    return (cfg.pack_extra_h and cfg.dims == 2 and _packed_level(cfg, lvl)
+            and P * cfg.base_filters * (2 ** lvl) <= 64)
+
+
+def loss_layout_phases(cfg: ModelConfig) -> int:
+    """Spatial phases per packed-head logit position (1 = canonical head).
+
+    Per-pixel losses/metrics are layout-invariant, so the train step can
+    consume the head's PACKED logits directly (uresnet_apply(...,
+    packed_logits=True)) and skip the d2s relayouts of the full-resolution
+    logit tensor — measured ~9% of the 512^2 train step in data formatting
+    (benchmarks/RESULTS.md round 2). Targets (label/weight/charge) must be
+    packed to the matching layout with `pack_like_logits`."""
+    if not cfg.pack or not _packed_level(cfg, 0):
+        return 1
+    P = 2 ** cfg.dims
+    return 2 * P if _hpack_level(cfg, 0) else P
+
+
+def pack_like_logits(x: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Relayout a per-pixel target (B, *S, K) into the packed-head logit
+    layout (B, *S', phases*K), phase-major — the exact channel order the
+    packed head conv emits (pack_weight_conv[_h] phase nesting)."""
+    x = space_to_depth(x, dims=cfg.dims)
+    if _hpack_level(cfg, 0):
+        x = s2d_h(x)
+    return x
+
+
 def _bn_packed(ctx: BlockCtx, p, s, x, train, phases: int):
     """BN over a packed tensor: aggregate statistics over the spatial
     phases so semantics equal unpacked BN; running stats stay (C,)."""
@@ -139,9 +176,15 @@ def uresnet_apply_packed(
     cfg: ModelConfig,
     train: bool,
     axis_name: Optional[str] = None,
+    packed_logits: bool = False,
 ) -> Tuple[jax.Array, State]:
     """Forward with packed low-channel levels; numerically equal to
-    `uresnet_apply` (up to f32 rounding in the relayout)."""
+    `uresnet_apply` (up to f32 rounding in the relayout).
+
+    ``packed_logits``: return the head's logits in their PACKED layout
+    (B, *S', phases*num_class, compute dtype) instead of relayouting to
+    canonical full-resolution f32 — the train-loss fast path (see
+    `loss_layout_phases`). No-op when level 0 is not packed."""
     from uresnet_tpu.models.uresnet import _ctx  # shared BlockCtx builder
 
     dims = cfg.dims
@@ -150,14 +193,10 @@ def uresnet_apply_packed(
     new_state: State = {}
 
     def packed_level(lvl: int) -> bool:
-        return cfg.base_filters * (2 ** lvl) < cfg.pack_threshold
+        return _packed_level(cfg, lvl)
 
     def hpack_level(lvl: int) -> bool:
-        # extra H phase (2D only) when the packed channel count still
-        # underfills the 128 MXU lanes. Bench-gated via cfg.pack_extra_h
-        # (benchmarks/RESULTS.md: neutral at base16/512^2).
-        return (cfg.pack_extra_h and dims == 2 and packed_level(lvl)
-                and P * cfg.base_filters * (2 ** lvl) <= 64)
+        return _hpack_level(cfg, lvl)
 
     from uresnet_tpu.models.uresnet import remat_wrappers
 
@@ -297,6 +336,10 @@ def uresnet_apply_packed(
             bias = params["head"]["b"]
             logits = logits + jnp.tile(bias, 2 * P if resident else P) \
                 .astype(logits.dtype)
+        if packed_logits:
+            # loss fast path: stay packed (phase-major channels), keep the
+            # compute dtype — the loss casts to f32 itself
+            return logits, new_state
         if resident:
             logits = d2s_h(logits)
         logits = depth_to_space(logits, dims=dims)

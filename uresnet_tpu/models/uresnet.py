@@ -126,18 +126,22 @@ def uresnet_apply(
     cfg: ModelConfig,
     train: bool,
     axis_name: Optional[str] = None,
+    packed_logits: bool = False,
 ) -> Tuple[jax.Array, State]:
     """Forward pass: (B, *spatial, C_in) -> float32 logits (B, *spatial, num_class).
 
     Returns updated BN state (identical to input state when ``train=False``).
     With ``cfg.pack`` (2D), low-channel levels run in space-to-depth packed
     layout (models/packed.py) — numerically equivalent, much faster on TPU.
+    ``packed_logits`` (packed models only): return logits in the packed-head
+    layout for the loss fast path (models/packed.py loss_layout_phases).
     """
     if cfg.pack:
         from uresnet_tpu.models.packed import uresnet_apply_packed
 
         return uresnet_apply_packed(params, state, x, cfg=cfg, train=train,
-                                    axis_name=axis_name)
+                                    axis_name=axis_name,
+                                    packed_logits=packed_logits)
     ctx = _ctx(cfg, axis_name)
     new_state: State = {}
     level, block = remat_wrappers(cfg.remat)

@@ -43,10 +43,32 @@ _MAP_CACHE: Dict[Tuple, Tuple[np.ndarray, np.ndarray]] = {}
 
 def space_to_depth(x: jax.Array, r: int = R, dims: int = 2) -> jax.Array:
     """(B, *S, C) -> (B, *S/r, r^dims * C); channel order phase-major
-    (p_0, ..., p_{dims-1}, c)."""
+    (p_0, ..., p_{dims-1}, c).
+
+    Two bit-identical implementations, picked by lane fill (measured on
+    v5e, benchmarks/RESULTS.md round 2): the innermost spatial dim can be
+    packed by a PURE RESHAPE (row-major (w, c) order makes the w-pair the
+    channel-major index), leaving only cheap row-granular transposes for
+    the outer dims (~870 GB/s vs ~75 GB/s for the naive all-dims
+    transpose) — but the reshape itself relayouts the (minor-dim) tiling,
+    which only beats the transpose when the merged minor dim r*C fills the
+    128 lanes. Hence: reshape path iff r*C >= 128."""
     B = x.shape[0]
     S = x.shape[1:1 + dims]
     C = x.shape[-1]
+    if r * C >= 128:
+        # innermost dim: free-ish reshape; outer dims: row transposes,
+        # innermost-first so the final order is phase-major (p_0,...,c)
+        x = x.reshape(x.shape[:-2] + (x.shape[-2] // r, r * C))
+        for ax in range(dims - 1, 0, -1):
+            s = x.shape
+            Cc = s[-1]
+            x = x.reshape(s[:ax] + (s[ax] // r, r) + s[ax + 1:])
+            perm = [i for i in range(x.ndim) if i != ax + 1]
+            perm.insert(len(perm) - 1, ax + 1)
+            x = x.transpose(perm).reshape(
+                s[:ax] + (s[ax] // r,) + s[ax + 1:-1] + (r * Cc,))
+        return x
     shape = (B,)
     for s in S:
         shape += (s // r, r)
@@ -61,9 +83,22 @@ def space_to_depth(x: jax.Array, r: int = R, dims: int = 2) -> jax.Array:
 
 
 def depth_to_space(x: jax.Array, r: int = R, dims: int = 2) -> jax.Array:
+    """Inverse of space_to_depth (same hybrid implementation choice: the
+    reshape path wins iff the still-merged minor dim stays >= 128 lanes,
+    i.e. packed channels >= 128 * r^(dims-1))."""
     B = x.shape[0]
     Sp = x.shape[1:1 + dims]
     C = x.shape[-1] // (r ** dims)
+    if x.shape[-1] // (r ** (dims - 1)) >= 128:
+        for ax in range(1, dims):
+            s = x.shape
+            Cc = s[-1] // r
+            x = x.reshape(s[:-1] + (r, Cc))
+            perm = [i for i in range(x.ndim) if i != x.ndim - 2]
+            perm.insert(ax + 1, x.ndim - 2)
+            x = x.transpose(perm).reshape(
+                s[:ax] + (s[ax] * r,) + s[ax + 1:-1] + (Cc,))
+        return x.reshape(x.shape[:-2] + (x.shape[-2] * r, x.shape[-1] // r))
     x = x.reshape((B,) + Sp + (r,) * dims + (C,))
     perm = [0]
     for d in range(dims):
