@@ -277,10 +277,15 @@ struct urd_batch {
   const float* data;     // (batch, S^ndims) C-order
   const int32_t* label;  // (batch, S^ndims)
   const float* weight;   // (batch, S^ndims)
-  // sparse mode (device-side densify; uresnet_tpu/data/device_pipeline.py)
-  const int32_t* coords;   // (batch, max_points, ndims)
+  // sparse mode (device-side densify; uresnet_tpu/data/device_pipeline.py).
+  // Wire dtypes are deliberately narrow — the sparse batch is the
+  // host->device transfer payload and the link is the e2e bottleneck
+  // (benchmarks/RESULTS.md round 2): coords int16 (detector extents
+  // < 32768, validated at fill), labels uint8 (class ids). Lossless; the
+  // device pipeline upcasts.
+  const int16_t* coords;   // (batch, max_points, ndims)
   const float* values;     // (batch, max_points)
-  const int32_t* slabels;  // (batch, max_points)
+  const uint8_t* slabels;  // (batch, max_points)
   const int32_t* npoints;  // (batch,)
   const int32_t* shape;    // (batch, ndims)
   int64_t cursor;        // event cursor AFTER this batch (resume contract)
@@ -300,10 +305,10 @@ struct urd_handle {
     std::vector<float> data;
     std::vector<int32_t> label;
     std::vector<float> weight;
-    // sparse mode
-    std::vector<int32_t> coords;
+    // sparse mode (narrow wire dtypes — see urd_batch)
+    std::vector<int16_t> coords;
     std::vector<float> values;
-    std::vector<int32_t> slabels;
+    std::vector<uint8_t> slabels;
     std::vector<int32_t> npoints;
     std::vector<int32_t> shape;
     int64_t cursor = 0;
@@ -526,15 +531,19 @@ static void fill_worker(urd_handle* h) {
           int nd = h->cfg.ndims;
           size_t n = pl->values.size();
           if (n > P) n = P;
-          int32_t* cdst = slot->coords.data() + img * P * nd;
+          int16_t* cdst = slot->coords.data() + img * P * nd;
           float* vdst = slot->values.data() + img * P;
-          int32_t* ldst = slot->slabels.data() + img * P;
-          std::memset(cdst, 0, P * nd * sizeof(int32_t));
+          uint8_t* ldst = slot->slabels.data() + img * P;
+          std::memset(cdst, 0, P * nd * sizeof(int16_t));
           std::memset(vdst, 0, P * sizeof(float));
-          std::memset(ldst, 0, P * sizeof(int32_t));
-          std::memcpy(cdst, pl->coords.data(), n * nd * sizeof(int32_t));
+          std::memset(ldst, 0, P * sizeof(uint8_t));
+          bool fits = true;
+          for (int d = 0; d < nd; ++d) fits &= pl->shape[d] < 32768;
+          if (!fits) { ok = false; break; }  // int16 wire coords
+          for (size_t i = 0; i < n * (size_t)nd; ++i)
+            cdst[i] = (int16_t)pl->coords[i];
           std::memcpy(vdst, pl->values.data(), n * sizeof(float));
-          for (size_t i = 0; i < n; ++i) ldst[i] = pl->labels[i];
+          for (size_t i = 0; i < n; ++i) ldst[i] = (uint8_t)pl->labels[i];
           slot->npoints[img] = (int32_t)n;
           for (int d = 0; d < nd; ++d)
             slot->shape[img * nd + d] = (int32_t)pl->shape[d];

@@ -35,9 +35,9 @@ struct urd_batch {
   const float* data;
   const int32_t* label;
   const float* weight;
-  const int32_t* coords;
-  const float* values;
-  const int32_t* slabels;
+  const int16_t* coords;   // narrow wire dtypes — keep in sync with
+  const float* values;     // decoder.cpp urd_batch
+  const uint8_t* slabels;
   const int32_t* npoints;
   const int32_t* shape;
   int64_t cursor;

@@ -259,3 +259,48 @@ def test_eval_step_and_forward(tmp_path):
     scores = tr.forward(ts, batch["data"])
     assert scores.shape == (4, 32, 32, 3)
     np.testing.assert_allclose(np.asarray(scores.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_steps_per_dispatch_bit_exact(tmp_path):
+    """fit() with steps_per_dispatch=4 (lax.scan over stacked batches, one
+    dispatch per 4 steps) must produce the SAME training trajectory as the
+    per-step loop: identical batch stream, identical per-step math up to
+    XLA fusion-order rounding inside scan (one-ulp f32 reduction drift,
+    amplified by Adam where grads ~0 — same caveat as
+    test_dp_equals_single_device)."""
+    import dataclasses
+
+    outs = {}
+    for k in (1, 4):
+        cfg = tiny_config(tmp_path / f"k{k}")
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, iterations=8, summary_iter=4, checkpoint_iter=0,
+                val_iter=0, steps_per_dispatch=k))
+        tr = Trainer(cfg, mesh=make_mesh(1))
+        ts, metrics = tr.fit(iterations=8, log=False)
+        _, step, cursor = tr.restore()
+        outs[k] = (jax.device_get(ts.params), metrics["loss"], step, cursor)
+    p1, l1, s1, c1 = outs[1]
+    p4, l4, s4, c4 = outs[4]
+    # the data stream must be EXACTLY the same: same final step + cursor
+    assert (s1, c1) == (s4, c4), ((s1, c1), (s4, c4))
+    # loss after 8 identical steps: tight
+    assert np.allclose(l1, l4, rtol=1e-5), (l1, l4)
+    # params: XLA re-associates f32 reductions inside scan; Adam amplifies
+    # the one-ulp drift where grads ~0 (same bound as the DP test above)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=2e-3)
+
+
+def test_steps_per_dispatch_validation(tmp_path):
+    import dataclasses
+
+    cfg = tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, iterations=8, summary_iter=3, checkpoint_iter=0,
+            val_iter=0, steps_per_dispatch=4))
+    tr = Trainer(cfg, mesh=make_mesh(1))
+    with pytest.raises(ValueError, match="summary_iter"):
+        tr.fit(iterations=8, log=False)

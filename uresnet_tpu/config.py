@@ -112,6 +112,15 @@ class TrainConfig:
     load_file: str = ""              # checkpoint path to restore
     seed: int = 123
     loss_normalize: str = "mean"     # 'mean' (reference: mean(w*xent)) | 'weight_sum'
+    steps_per_dispatch: int = 1      # fuse K train steps into ONE device
+                                     # dispatch (lax.scan over K stacked
+                                     # batches, one host->device transfer).
+                                     # Amortizes per-step dispatch/transfer
+                                     # latency — the e2e bottleneck on
+                                     # remote-relay hosts (benchmarks/
+                                     # RESULTS.md round 2). summary/val/
+                                     # checkpoint iters and iterations must
+                                     # be multiples of K.
     packed_loss: bool = False        # train loss/metrics on the packed-head
                                      # logits (skips the full-res d2s
                                      # relayouts; per-pixel math is

@@ -56,9 +56,9 @@ class _UrdBatch(C.Structure):
         ("data", C.POINTER(C.c_float)),
         ("label", C.POINTER(C.c_int32)),
         ("weight", C.POINTER(C.c_float)),
-        ("coords", C.POINTER(C.c_int32)),
+        ("coords", C.POINTER(C.c_int16)),
         ("values", C.POINTER(C.c_float)),
-        ("slabels", C.POINTER(C.c_int32)),
+        ("slabels", C.POINTER(C.c_uint8)),
         ("npoints", C.POINTER(C.c_int32)),
         ("shape", C.POINTER(C.c_int32)),
         ("cursor", C.c_int64),

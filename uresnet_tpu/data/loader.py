@@ -352,6 +352,22 @@ class _ReadyDepth:
             return len(self._loader._ready)
 
 
+def stack_batches(it: Iterator[dict], k: int) -> Iterator[dict]:
+    """Group k consecutive host batches into one stacked batch (each array
+    leaf gains a leading k dim) for the fused multi-step dispatch
+    (Trainer.train_step_multi / cfg.train.steps_per_dispatch). The group's
+    'cursor' is the LAST batch's (the data position after all k steps)."""
+    while True:
+        group = [next(it) for _ in range(k)]
+        cursor = group[-1].pop("cursor", 0)
+        for g in group[:-1]:
+            g.pop("cursor", None)
+        stacked = {key: np.stack([g[key] for g in group])
+                   for key in group[0]}
+        stacked["cursor"] = cursor
+        yield stacked
+
+
 def device_prefetch(it: Iterator[dict], *, sharding=None, depth: int = 2,
                     put_fn=None):
     """Asynchronously stage host batches onto the device(s).

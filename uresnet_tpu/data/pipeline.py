@@ -128,9 +128,14 @@ def sparse_batch(
     coords/values/labels padded to `max_points` (overflow points dropped,
     rarest-first would require a policy — we keep the first P)."""
     B = len(events) * len(planes)
-    coords = np.zeros((B, max_points, ndims), np.int32)
+    # Narrow WIRE dtypes (lossless; the device pipeline upcasts): the sparse
+    # batch is the host->device payload and the link is the e2e bottleneck
+    # (benchmarks/RESULTS.md round 2) — coords int16 (extents < 32768,
+    # checked below), labels uint8 (class ids). Must match the C++ decoder's
+    # slot layout (cxx/decoder/decoder.cpp urd_batch).
+    coords = np.zeros((B, max_points, ndims), np.int16)
     values = np.zeros((B, max_points), np.float32)
-    labels = np.zeros((B, max_points), np.int32)
+    labels = np.zeros((B, max_points), np.uint8)
     npoints = np.zeros((B,), np.int32)
     shape = np.zeros((B, ndims), np.int32)
     row = 0
@@ -141,6 +146,10 @@ def sparse_batch(
             if pl is None:
                 raise KeyError(f"event missing plane {pid}")
             n = min(len(pl.values), max_points)
+            if np.any(np.asarray(pl.shape) >= 32768):
+                raise ValueError(
+                    f"plane shape {tuple(pl.shape)} exceeds the int16 sparse "
+                    f"wire format (detector extents must be < 32768)")
             coords[row, :n] = pl.coords[:n]
             values[row, :n] = pl.values[:n]
             labels[row, :n] = pl.labels[:n]

@@ -24,7 +24,8 @@ import jax
 import numpy as np
 
 from uresnet_tpu.config import Config
-from uresnet_tpu.data.loader import BatchLoader, device_prefetch, make_batch_loader
+from uresnet_tpu.data.loader import (BatchLoader, device_prefetch,
+                                     make_batch_loader, stack_batches)
 from uresnet_tpu.engine import checkpoint as ckpt
 from uresnet_tpu.engine.augment import augment_batch
 from uresnet_tpu.engine.logging import MetricsLogger
@@ -78,6 +79,15 @@ class Trainer:
         """Dense image leaves shard (batch, H) over (data, spatial); sparse
         point-list leaves (coords/values/npoints/shape) only shard batch."""
         return self._bsh if key in self._IMAGE_KEYS else self._bsh_data_only
+
+    def _stacked_leaf_sharding(self, key: str):
+        """Per-leaf sharding for K-stacked batches (leading steps dim is
+        replicated; the batch dim moves to axis 1)."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        base = self._leaf_sharding(key)
+        return NamedSharding(self.mesh, P(*((None,) + tuple(base.spec))))
 
     # -- state ---------------------------------------------------------------
 
@@ -158,7 +168,8 @@ class Trainer:
         return dense
 
     def _train_step(self, ts: TrainState, batch,
-                    with_metrics: bool = True) -> Tuple[TrainState, Dict]:
+                    with_metrics: bool = True,
+                    metrics_pred=None) -> Tuple[TrainState, Dict]:
         batch = self._prepare(batch)
         key, k_aug = jax.random.split(ts.key)
         if self.cfg.data.augment:
@@ -170,11 +181,31 @@ class Trainer:
         # only read every summary_iter steps — the hot step skips them
         metrics = {"loss": loss}
         if with_metrics:
-            data = (self._pack_target(batch["data"])
-                    if logits.ndim != batch["data"].ndim else batch["data"])
-            metrics.update(segmentation_metrics(
-                logits, labels, data,
-                num_class=self.cfg.model.num_class))
+            def _metrics():
+                data = (self._pack_target(batch["data"])
+                        if logits.ndim != batch["data"].ndim
+                        else batch["data"])
+                return segmentation_metrics(
+                    logits, labels, data,
+                    num_class=self.cfg.model.num_class)
+
+            if metrics_pred is None:
+                metrics.update(_metrics())
+            else:
+                # inside a fused multi-step scan: only the LAST step's
+                # metrics are read — lax.cond skips the argmax/IoU passes
+                # on the other k-1 iterations
+                import jax.numpy as jnp
+
+                zeros = {k: jnp.zeros((), jnp.float32)
+                         for k in ("acc_all", "acc_nonzero", "miou",
+                                   *(f"iou_class{c}" for c in
+                                     range(self.cfg.model.num_class)))}
+                metrics.update(jax.lax.cond(
+                    metrics_pred,
+                    lambda: {k: v.astype(jnp.float32)
+                             for k, v in _metrics().items()},
+                    lambda: zeros))
         new_ts = TrainState(params=params, model_state=mstate, opt=opt, key=key)
         return new_ts, metrics
 
@@ -218,6 +249,42 @@ class Trainer:
     def train_step_light(self):
         """Metric-free hot-loop step (loss only in the metrics dict)."""
         return self._make_train_step(False)
+
+    def train_step_multi(self, k: int, with_metrics: bool):
+        """K train steps fused into ONE executable over K STACKED batches
+        (each leaf gains a leading steps dim): one host->device transfer and
+        one dispatch per K steps. This is the production host-training-loop
+        (cfg.train.steps_per_dispatch) — per-step math is IDENTICAL to
+        `train_step` (same body under lax.scan; trajectory equivalence pinned
+        in tests/test_trainer.py::test_steps_per_dispatch_bit_exact), it
+        only amortizes per-step dispatch/transfer latency, the measured e2e
+        bottleneck on remote-relay hosts (benchmarks/RESULTS.md round 2).
+        Metrics are the LAST step's."""
+        key = f"train_multi_{k}_{with_metrics}"
+        if key not in self._compiled:
+            def multi_fn(ts, batches):
+                import jax.numpy as jnp
+
+                idx = jnp.arange(k)
+
+                def body(ts, xs):
+                    batch, i = xs
+                    return self._train_step(
+                        ts, batch, with_metrics=with_metrics,
+                        # only the last step's metrics are read — skip the
+                        # argmax/IoU passes on the other k-1 iterations
+                        metrics_pred=(i == k - 1) if with_metrics else None)
+
+                ts, ms = jax.lax.scan(body, ts, (batches, idx))
+                return ts, jax.tree.map(lambda m: m[-1], ms)
+
+            self._compiled[key] = jax.jit(
+                multi_fn,
+                in_shardings=(self._rep, None),  # batches: per-leaf placement
+                out_shardings=(self._rep, self._rep),
+                donate_argnums=(0,),
+            )
+        return self._compiled[key]
 
     def train_step_scan(self, k: int):
         """K chained train steps fused into ONE executable via lax.scan
@@ -263,7 +330,9 @@ class Trainer:
 
     # -- data -----------------------------------------------------------------
 
-    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+    def _device_batch_with(self, leaf_sh):
+        """Batch device-placement fn using the given per-leaf sharding
+        (plain or K-stacked)."""
         multi_host = jax.process_count() > 1
 
         def put(k, v):
@@ -271,13 +340,18 @@ class Trainer:
                 # each host holds its 1/process_count slice of the global
                 # batch (sharded loader); assemble the global array from
                 # process-local data (SURVEY.md §2.4 multi-host SPMD)
-                return jax.make_array_from_process_local_data(
-                    self._leaf_sharding(k), v)
-            return jax.device_put(v, self._leaf_sharding(k))
+                return jax.make_array_from_process_local_data(leaf_sh(k), v)
+            return jax.device_put(v, leaf_sh(k))
 
-        return {k: (put(k, v) if isinstance(v, np.ndarray) and v.ndim > 0
-                    else v)
-                for k, v in batch.items()}
+        def put_batch(batch):
+            return {k: (put(k, v) if isinstance(v, np.ndarray) and v.ndim > 0
+                        else v)
+                    for k, v in batch.items()}
+
+        return put_batch
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        return self._device_batch_with(self._leaf_sharding)(batch)
 
     def make_loader(self, *, train: bool = True, start_event: int = 0):
         dcfg = self.cfg.data
@@ -334,19 +408,39 @@ class Trainer:
         logger = MetricsLogger(cfg.train.log_dir, name="train", echo=log)
         val_logger = MetricsLogger(cfg.train.log_dir, name="val", echo=log)
         last: Dict[str, float] = {}
+        K = max(1, int(cfg.train.steps_per_dispatch))
+        if K > 1:
+            for name, period in (("summary_iter", cfg.train.summary_iter),
+                                 ("val_iter", cfg.train.val_iter),
+                                 ("checkpoint_iter", cfg.train.checkpoint_iter),
+                                 ("iterations", iters)):
+                if period and period % K:
+                    raise ValueError(
+                        f"train.{name} ({period}) must be a multiple of "
+                        f"train.steps_per_dispatch ({K})")
+            host_it = stack_batches(iter(loader), K)
+            leaf_sh = self._stacked_leaf_sharding
+        else:
+            host_it = iter(loader)
+            leaf_sh = self._leaf_sharding
         it = device_prefetch(
-            iter(loader), sharding=self._leaf_sharding,
+            host_it, sharding=leaf_sh,
             depth=cfg.data.prefetch_depth,
-            put_fn=self._device_batch if jax.process_count() > 1 else None)
+            put_fn=(self._device_batch_with(leaf_sh)
+                    if jax.process_count() > 1 else None))
         t_last = time.time()
         cursor_now = cursor
         try:
-            for step in range(start_step + 1, start_step + iters + 1):
+            for step in range(start_step + K, start_step + iters + 1, K):
                 batch = next(it)
                 cursor_now = int(batch.pop("cursor", 0))
                 summary = (step % cfg.train.summary_iter == 0
                            or step == start_step + iters)
-                step_fn = self.train_step if summary else self.train_step_light
+                if K > 1:
+                    step_fn = self.train_step_multi(K, summary)
+                else:
+                    step_fn = (self.train_step if summary
+                               else self.train_step_light)
                 ts, metrics = step_fn(ts, batch)
                 if summary:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
