@@ -66,6 +66,15 @@ class Trainer:
                 f"by the mesh data-axis size ({n_data}); raise the batch "
                 f"size or set parallel.data to a divisor (e.g. "
                 f"parallel.data=1 for single-device runs)")
+        if cfg.data.batch_size % 2 and cfg.data.batch_size > 1:
+            import sys
+
+            print(
+                f"[uresnet_tpu] perf warning: odd batch_size "
+                f"({cfg.data.batch_size}) measured ~20%/image slower on TPU "
+                f"(XLA pads the batch dim in conv tilings) — prefer an even "
+                f"events x planes product (benchmarks/RESULTS.md)",
+                file=sys.stderr)
         self._bsh = batch_sharding(
             self.mesh, spatial_dim=1 if self._spatial_n > 1 else None)
         self._bsh_data_only = batch_sharding(self.mesh)
