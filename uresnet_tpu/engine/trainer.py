@@ -66,6 +66,15 @@ class Trainer:
                 f"by the mesh data-axis size ({n_data}); raise the batch "
                 f"size or set parallel.data to a divisor (e.g. "
                 f"parallel.data=1 for single-device runs)")
+        if (cfg.model.dims == 3 and not cfg.model.pack
+                and jax.devices()[0].platform == "tpu"):
+            import sys
+
+            print(
+                "[uresnet_tpu] perf warning: 3D without model.pack hits an "
+                "8x XLA tile-padding blowup on TPU (29% HBM utilization; "
+                "192^3 OOMs outright) — set model.pack: true "
+                "(benchmarks/RESULTS.md)", file=sys.stderr)
         if cfg.data.batch_size % 2 and cfg.data.batch_size > 1:
             import sys
 
