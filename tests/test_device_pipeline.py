@@ -105,3 +105,97 @@ def test_dense_vs_sparse_same_loss(tmp_path):
     m_sparse = tr.eval_step(ts2, tr._device_batch(sp))
     assert abs(float(m_dense["loss"]) - float(m_sparse["loss"])) < 1e-5
     assert abs(float(m_dense["miou"]) - float(m_sparse["miou"])) < 1e-5
+
+# -- round-2 extensions: augmentation and packed-target layout folded into
+# the densify scatter (pure index math on the points).
+
+
+@pytest.mark.parametrize("dims,shape", [(2, (128, 128)), (3, (48, 48, 48))])
+def test_densify_inline_augment_matches_augment_batch(dims, shape):
+    """densify(augment_key=k) must equal augment_batch(k, densify(...))
+    BIT-FOR-BIT: same key-split/decision sequence, flips/rot applied as
+    window-coordinate bijections inside the scatter."""
+    from uresnet_tpu.engine.augment import augment_batch
+
+    rng = np.random.default_rng(11)
+    events = [generate_event(rng, shape=shape, planes=(0,)) for _ in range(3)]
+    sp = sparse_batch(events, planes=(0,), max_points=4096, ndims=dims)
+    T = 32
+    plain = densify_on_device(sp, image_size=T)
+    for seed in (0, 1, 2, 5):
+        key = jax.random.PRNGKey(seed)
+        want = jax.device_get(augment_batch(key, dict(plain), dims=dims))
+        got = jax.device_get(densify_on_device(sp, image_size=T,
+                                               augment_key=key))
+        np.testing.assert_array_equal(got["label"], want["label"])
+        np.testing.assert_array_equal(got["data"], want["data"])
+        np.testing.assert_allclose(got["weight"], want["weight"],
+                                   rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("dims,shape,hpack", [(2, (128, 128), False),
+                                              (2, (128, 128), True),
+                                              (3, (48, 48, 48), False)])
+@pytest.mark.parametrize("weight_mode", ["class_balance", "nonzero"])
+def test_densify_packed_targets_match_pack_like_logits(dims, shape, hpack,
+                                                       weight_mode):
+    """Packed-target scatter == pack_like_logits of the canonical targets
+    (bit-exact): same phase-major order the packed head emits."""
+    from uresnet_tpu.config import ModelConfig
+    from uresnet_tpu.models.packed import loss_layout_phases, pack_like_logits
+
+    mcfg = ModelConfig(dims=dims, base_filters=4, pack=True,
+                       pack_extra_h=hpack, compute_dtype="float32")
+    ph = loss_layout_phases(mcfg)
+    rng = np.random.default_rng(13)
+    events = [generate_event(rng, shape=shape, planes=(0,)) for _ in range(2)]
+    sp = sparse_batch(events, planes=(0,), max_points=4096, ndims=dims)
+    T = 32
+    kw = dict(image_size=T, weight_mode=weight_mode)
+    want = densify_on_device(sp, **kw)
+    got = jax.device_get(densify_on_device(
+        sp, **kw, target_phases=ph, target_hpack=(hpack and dims == 2)))
+    np.testing.assert_array_equal(got["data"], np.asarray(want["data"]))
+    want_lab = jax.device_get(
+        pack_like_logits(want["label"][..., None], mcfg))[..., :]
+    want_w = jax.device_get(pack_like_logits(want["weight"][..., None], mcfg))
+    np.testing.assert_array_equal(got["label"], want_lab.reshape(
+        got["label"].shape))
+    np.testing.assert_allclose(got["weight"], want_w.reshape(
+        got["weight"].shape), rtol=1e-6, atol=1e-7)
+
+
+def test_sparse_packed_loss_trainer_equivalence(tmp_path):
+    """Sparse loader + packed_loss=True (targets scattered packed, augment
+    in-scatter) vs packed_loss=False: same loss trajectory."""
+    from uresnet_tpu.engine.trainer import Trainer
+    from uresnet_tpu.parallel.mesh import make_mesh
+
+    losses = {}
+    for packed in (False, True):
+        cfg = Config(
+            model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                              compute_dtype="float32", pack=True,
+                              pack_extra_h=True),
+            data=DataConfig(image_size=32, batch_size=4, planes=(0,),
+                            synthetic=True, synthetic_events=8, seed=5,
+                            num_threads=1, random_access=False,
+                            transfer="sparse", max_points=1024,
+                            backend="python", augment=True),
+            optim=OptimConfig(lr=1e-3),
+            train=TrainConfig(seed=3, packed_loss=packed,
+                              checkpoint_dir=str(tmp_path / f"c{packed}"),
+                              log_dir=str(tmp_path / f"l{packed}")),
+        )
+        tr = Trainer(cfg, mesh=make_mesh(1))
+        ts = tr.init_state()
+        loader = tr.make_loader(train=True)
+        ls = []
+        for _ in range(3):
+            batch = loader.next()
+            batch.pop("cursor")
+            ts, m = tr.train_step(ts, tr._device_batch(batch))
+            ls.append(float(m["loss"]))
+        loader.stop()
+        losses[packed] = ls
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-5)

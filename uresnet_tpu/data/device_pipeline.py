@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "num_class", "normalize_scale", "normalize_clip",
-    "weight_mode", "nonzero_boost"))
+    "weight_mode", "nonzero_boost", "target_phases", "target_hpack"))
 def densify_on_device(
     sparse: Dict[str, jax.Array],
     *,
@@ -42,7 +42,23 @@ def densify_on_device(
     normalize_clip: float = 10.0,
     weight_mode: str = "class_balance",
     nonzero_boost: float = 1.0,
+    augment_key: jax.Array = None,
+    target_phases: int = 1,
+    target_hpack: bool = False,
 ) -> Dict[str, jax.Array]:
+    """See module docstring. Two round-2 extensions, both pure index math on
+    the ~4k points per image (so they cost ~nothing vs the full-image
+    passes they replace — benchmarks/RESULTS.md):
+
+    * ``augment_key``: apply engine.augment.augment_batch's random
+      flips/rot90 INSIDE the scatter by transforming the window coordinates
+      — bit-identical to augmenting the densified images with the same key
+      (flip/rot are bijections of the crop window), at point-cloud cost.
+    * ``target_phases``/``target_hpack``: scatter label and weight directly
+      into the PACKED loss layout (models/packed.py loss_layout_phases /
+      pack_like_logits order), enabling the d2s-free packed train loss
+      without any full-resolution target relayout. ``data`` stays canonical
+      (the packed model does its own stem s2d)."""
     coords = sparse["coords"].astype(jnp.int32)      # (B, P, D)
     values = sparse["values"].astype(jnp.float32)    # (B, P)
     labels = sparse["labels"].astype(jnp.int32)      # (B, P)
@@ -81,31 +97,94 @@ def densify_on_device(
     shifted = coords - origin[:, None, :]
     in_win = jnp.all((shifted >= 0) & (shifted < T), axis=-1) & mask
 
-    # flatten window coords; out-of-window points -> T^D (dropped)
+    if augment_key is not None:
+        # Mirror augment_batch's key/decision sequence EXACTLY (one
+        # bernoulli per spatial axis, then the 2D rot90) so densify(aug_key)
+        # == augment_batch(aug_key, densify(...)) bit-for-bit
+        # (tests/test_device_pipeline.py).
+        kf = jax.random.split(augment_key, D + 1)
+        s = jnp.clip(shifted, 0, T - 1)
+        comps = []
+        for d in range(D):
+            do = jax.random.bernoulli(kf[d])
+            comps.append(jnp.where(do, T - 1 - s[..., d], s[..., d]))
+        s = jnp.stack(comps, axis=-1)
+        if D == 2:
+            # np.rot90(a, 1, (1, 2)): out[i, j] = in[j, T-1-i]  =>  a point
+            # at (y, x) lands at (T-1-x, y)
+            do = jax.random.bernoulli(kf[D])
+            s = jnp.where(do,
+                          jnp.stack([T - 1 - s[..., 1], s[..., 0]], -1), s)
+        shifted = s
+
+    # flatten window coords; out-of-window points -> npix (dropped)
+    npix = T ** D
     flat = jnp.zeros((B, P), jnp.int32)
     for d in range(D):
         flat = flat * T + jnp.clip(shifted[..., d], 0, T - 1)
-    npix = T ** D
     flat = jnp.where(in_win, flat, npix)
+
+    # packed-target flat index: position (coarse grid) major, then the
+    # phase-major channel (hp, p_0, ..., p_{D-1}) — the exact order
+    # pack_like_logits/space_to_depth[+s2d_h] produce
+    if target_phases > 1:
+        c = jnp.clip(shifted, 0, T - 1)
+        blk = c // 2                                # per-dim coarse index
+        ph = c % 2                                  # per-dim phase
+        if target_hpack:
+            hp = blk[..., 0] % 2
+            row = blk[..., 0] // 2                  # H/4 grid
+            pos = row
+            for d in range(1, D):
+                pos = pos * (T // 2) + blk[..., d]
+            phase = hp
+            for d in range(D):
+                phase = phase * 2 + ph[..., d]
+        else:
+            pos = blk[..., 0]
+            for d in range(1, D):
+                pos = pos * (T // 2) + blk[..., d]
+            phase = jnp.zeros_like(pos)
+            for d in range(D):
+                phase = phase * 2 + ph[..., d]
+        flat_t = pos * target_phases + phase
+        flat_t = jnp.where(in_win, flat_t, npix)
+    else:
+        flat_t = flat
 
     vals = jnp.clip(values * normalize_scale, 0.0, normalize_clip)
 
-    def scatter_one(flat_i, vals_i, labs_i):
+    def scatter_one(flat_i, flat_ti, vals_i, labs_i):
         data = jnp.zeros((npix + 1,), jnp.float32).at[flat_i].set(
             vals_i, mode="drop")
-        lab = jnp.zeros((npix + 1,), jnp.int32).at[flat_i].set(
+        lab = jnp.zeros((npix + 1,), jnp.int32).at[flat_ti].set(
             labs_i, mode="drop")
         return data[:npix], lab[:npix]
 
-    data, label = jax.vmap(scatter_one)(flat, vals, labels)
+    data, label = jax.vmap(scatter_one)(flat, flat_t, vals, labels)
     data = data.reshape((B,) + (T,) * D)
-    label = label.reshape((B,) + (T,) * D)
+    if target_phases > 1:
+        h0 = T // (4 if target_hpack else 2)
+        tshape = (B, h0) + (T // 2,) * (D - 1) + (target_phases,)
+        label = label.reshape(tshape)
+    else:
+        label = label.reshape((B,) + (T,) * D)
 
     if weight_mode == "ones":
-        weight = jnp.ones_like(data)
+        weight = jnp.ones(label.shape, jnp.float32)
     elif weight_mode == "nonzero":
-        weight = jnp.where(data > 0, 1.0 + nonzero_boost, 1.0)
+        if target_phases > 1:
+            # nonzero mask in the TARGET layout: scatter the charge at the
+            # packed index too (per-pixel bijection of the canonical mask)
+            data_t = jax.vmap(lambda fi, vi: jnp.zeros(
+                (npix + 1,), jnp.float32).at[fi].set(vi, mode="drop")[:npix]
+            )(flat_t, vals).reshape(label.shape)
+        else:
+            data_t = data
+        weight = jnp.where(data_t > 0, 1.0 + nonzero_boost, 1.0)
     elif weight_mode == "class_balance":
+        # per-pixel function of the label map — layout-invariant (the pixel
+        # multiset is identical in canonical and packed target layouts)
         flat_lab = label.reshape(B, -1)
         one_hot = jax.nn.one_hot(flat_lab, num_class, dtype=jnp.float32)
         counts = one_hot.sum(axis=1)                              # (B, C)
@@ -114,7 +193,7 @@ def densify_on_device(
         # one-hot contraction, not take_along_axis (gather is scalar-slow
         # on TPU — see engine/losses.py)
         weight = jnp.einsum("bpc,bc->bp", one_hot, w_class)
-        weight = weight.reshape(data.shape)
+        weight = weight.reshape(label.shape)
     else:
         raise ValueError(f"unknown weight mode {weight_mode!r}")
 

@@ -148,7 +148,9 @@ class Trainer:
         packed train path — (B,*S',phases,C)/(B,*S',phases). Per-pixel
         losses and metrics are layout-invariant, so downstream consumers
         (segmentation_metrics) work on either unchanged."""
-        packed = train and self._loss_phases > 1
+        # targets may ARRIVE pre-packed (densify_on_device target_phases)
+        arrived = batch["label"].ndim == self.cfg.model.dims + 2
+        packed = arrived or (train and self._loss_phases > 1)
         logits, new_mstate = uresnet_apply(
             params, mstate, batch["data"], cfg=self.cfg.model, train=train,
             packed_logits=packed)
@@ -156,8 +158,10 @@ class Trainer:
             ph = self._loss_phases
             logits = logits.reshape(
                 logits.shape[:-1] + (ph, self.cfg.model.num_class))
-            labels = self._pack_target(batch["label"])
-            weights = self._pack_target(batch["weight"])
+            labels = (batch["label"] if arrived
+                      else self._pack_target(batch["label"]))
+            weights = (batch["weight"] if arrived
+                       else self._pack_target(batch["weight"]))
         else:
             labels, weights = batch["label"], batch["weight"]
         loss = weighted_softmax_xent(
@@ -165,12 +169,16 @@ class Trainer:
             normalize=self.cfg.train.loss_normalize)
         return loss, ((logits, labels), new_mstate)
 
-    def _prepare(self, batch):
+    def _prepare(self, batch, *, augment_key=None, packed_targets=False):
         """Sparse-transfer batches are densified ON DEVICE inside the jitted
-        step (data/device_pipeline.py) — the host ships ~50x fewer bytes."""
+        step (data/device_pipeline.py) — the host ships ~50x fewer bytes.
+        ``augment_key``: fold the random flips/rot90 into the scatter (point
+        cost instead of full-image passes). ``packed_targets``: scatter
+        label/weight directly into the packed loss layout."""
         if "coords" not in batch:
             return batch
         from uresnet_tpu.data.device_pipeline import densify_on_device
+        from uresnet_tpu.models.packed import _hpack_level
 
         d = self.cfg.data
         dense = densify_on_device(
@@ -179,7 +187,11 @@ class Trainer:
             normalize_scale=d.normalize_scale,
             normalize_clip=d.normalize_clip,
             weight_mode=d.weight_mode,
-            nonzero_boost=d.weight_nonzero_boost)
+            nonzero_boost=d.weight_nonzero_boost,
+            augment_key=augment_key,
+            target_phases=self._loss_phases if packed_targets else 1,
+            target_hpack=(packed_targets
+                          and _hpack_level(self.cfg.model, 0)))
         if self._spatial_n > 1:
             dense = jax.lax.with_sharding_constraint(
                 dense, jax.tree.map(lambda _: self._bsh, dense))
@@ -188,9 +200,13 @@ class Trainer:
     def _train_step(self, ts: TrainState, batch,
                     with_metrics: bool = True,
                     metrics_pred=None) -> Tuple[TrainState, Dict]:
-        batch = self._prepare(batch)
         key, k_aug = jax.random.split(ts.key)
-        if self.cfg.data.augment:
+        sparse = "coords" in batch
+        batch = self._prepare(
+            batch,
+            augment_key=k_aug if (sparse and self.cfg.data.augment) else None,
+            packed_targets=sparse and self._loss_phases > 1)
+        if self.cfg.data.augment and not sparse:
             batch = augment_batch(k_aug, batch, dims=self.cfg.model.dims)
         (loss, ((logits, labels), mstate)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(ts.params, ts.model_state, batch, True)
