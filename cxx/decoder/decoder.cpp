@@ -497,6 +497,7 @@ static void fill_worker(urd_handle* h) {
     // events for this ticket: deterministic function of (ticket, start_cursor)
     int64_t first = h->start_cursor + (int64_t)ticket * epb;
     bool ok = true;
+    const char* fail_reason = "event decode failed";
     for (int e = 0; e < epb && ok; ++e) {
       int64_t pos = first + e;
       uint64_t ep = (uint64_t)(pos / n_ev);
@@ -539,7 +540,12 @@ static void fill_worker(urd_handle* h) {
           std::memset(ldst, 0, P * sizeof(uint8_t));
           bool fits = true;
           for (int d = 0; d < nd; ++d) fits &= pl->shape[d] < 32768;
-          if (!fits) { ok = false; break; }  // int16 wire coords
+          if (!fits) {
+            fail_reason = "plane extent >= 32768 exceeds the int16 sparse "
+                          "wire format (see urd_batch)";
+            ok = false;
+            break;
+          }
           for (size_t i = 0; i < n * (size_t)nd; ++i)
             cdst[i] = (int16_t)pl->coords[i];
           std::memcpy(vdst, pl->values.data(), n * sizeof(float));
@@ -558,7 +564,7 @@ static void fill_worker(urd_handle* h) {
     {
       std::lock_guard<std::mutex> lk(h->mu);
       if (!ok) {
-        h->error = "event decode failed";
+        h->error = fail_reason;
         h->cv_ready.notify_all();
         return;
       }

@@ -53,3 +53,21 @@ def test_kv_file_load(tmp_path):
     cfg = load_config(str(p))
     assert cfg.model.num_class == 2
     assert cfg.data.image_size == 256
+
+
+def test_bool_override_synonyms_and_rejection():
+    """Bool fields accept yes/no/on/off and REJECT arbitrary strings —
+    a raw string assigned to a bool field is always truthy and silently
+    inverts 'model.pack=no'-style intent (round-2 review finding)."""
+    from uresnet_tpu.config import Config, apply_overrides
+
+    cfg = Config()
+    apply_overrides(cfg, ["model.pack=no"])
+    assert cfg.model.pack is False
+    apply_overrides(cfg, ["model.pack=on"])
+    assert cfg.model.pack is True
+    apply_overrides(cfg, ["model.remat=block"])   # the one tri-state field
+    assert cfg.model.remat == "block"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boolean"):
+        apply_overrides(cfg, ["data.augment=maybe"])

@@ -205,3 +205,57 @@ def test_synthetic_has_all_classes(rng):
     ev = _event(rng, shape=(256, 256), planes=(0,))
     labs = ev.planes[0].labels
     assert {1, 2}.issubset(set(np.unique(labs)))
+
+
+def test_loader_stop_start_resumes_deterministically(tmp_path):
+    """stop() -> start() must continue the exact stream (claimed-but-
+    undelivered tickets are rewound, not leaked as holes that hang the
+    consumer — round-2 review finding)."""
+    from uresnet_tpu.config import DataConfig
+    from uresnet_tpu.data.loader import BatchLoader
+
+    cfg = DataConfig(image_size=32, batch_size=2, planes=(0,),
+                     synthetic=True, synthetic_events=8, seed=3,
+                     num_threads=2, random_access=True, transfer="sparse",
+                     max_points=256)
+    from uresnet_tpu.data.loader import resolve_input_files
+    files = tuple(resolve_input_files(cfg, 2))
+    import dataclasses
+    cfg = dataclasses.replace(cfg, input_files=files)
+
+    ref = BatchLoader(cfg, num_class=3, train=True, ndims=2)
+    want = [ref._make_batch() for _ in range(6)]   # synchronous oracle
+
+    ld = BatchLoader(cfg, num_class=3, train=True, ndims=2)
+    ld.start(2)
+    got = [ld.next() for _ in range(3)]
+    ld.stop()
+    ld.start(2)                                    # restart mid-stream
+    got += [ld.next() for _ in range(3)]
+    ld.stop()
+    for w, g in zip(want, got):
+        assert w["cursor"] == g["cursor"]
+        np.testing.assert_array_equal(w["values"], g["values"])
+
+
+def test_cxx_seek_requires_stopped_loader(tmp_path):
+    from uresnet_tpu.data import cxx_decoder
+    if not cxx_decoder.available():
+        import pytest as _pytest
+        _pytest.skip("decoder library not built")
+    from uresnet_tpu.config import DataConfig
+    from uresnet_tpu.data.loader import resolve_input_files
+
+    cfg = DataConfig(image_size=32, batch_size=2, planes=(0,),
+                     synthetic=True, synthetic_events=8, seed=3,
+                     num_threads=1, transfer="sparse", max_points=256)
+    files = resolve_input_files(cfg, 2)
+    ld = cxx_decoder.CxxBatchLoader(cfg, num_class=3, train=True, ndims=2,
+                                    files=files)
+    ld.start(1)
+    ld.next()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="stopped"):
+        ld.seek(0)
+    ld.stop()
+    ld.close()

@@ -96,12 +96,24 @@ def convert_3d(io, data_producer: str, label_producer: str, events_out):
         meta = vox.meta()
         nx, ny, nz = (meta.num_voxel_x(), meta.num_voxel_y(),
                       meta.num_voxel_z())
-        ids = np.array([v.id() for v in vox.as_vector()], dtype=np.int64)
-        values = np.array([v.value() for v in vox.as_vector()],
-                          dtype=np.float32)
-        lab_by_id = {int(v.id()): int(v.value()) for v in lab.as_vector()}
-        labels = np.array([lab_by_id.get(int(i), 0) for i in ids],
-                          dtype=np.uint8)
+        # single pass over each PyROOT voxel vector (they can hold 1e5+
+        # voxels per event; iterating twice doubled the dominant cost),
+        # then a vectorized id join for the labels
+        pairs = [(v.id(), v.value()) for v in vox.as_vector()]
+        ids = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+        values = np.fromiter((p[1] for p in pairs), np.float32, len(pairs))
+        lpairs = [(v.id(), v.value()) for v in lab.as_vector()]
+        lab_ids = np.fromiter((p[0] for p in lpairs), np.int64, len(lpairs))
+        lab_vals = np.fromiter((p[1] for p in lpairs), np.int64, len(lpairs))
+        # labels for data ids: sorted-search join (0 where no label voxel)
+        order = np.argsort(lab_ids)
+        lab_ids, lab_vals = lab_ids[order], lab_vals[order]
+        pos = np.searchsorted(lab_ids, ids)
+        pos = np.clip(pos, 0, max(len(lab_ids) - 1, 0))
+        hit = (len(lab_ids) > 0) & (lab_ids[pos] == ids) if len(lab_ids) \
+            else np.zeros(len(ids), bool)
+        labels = np.where(hit, lab_vals[pos] if len(lab_vals) else 0,
+                          0).astype(np.uint8)
         x = ids % nx
         y = (ids // nx) % ny
         z = ids // (nx * ny)

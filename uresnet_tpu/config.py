@@ -228,9 +228,18 @@ def _set_dotted(obj: Any, dotted: str, value: Any) -> None:
         value = (value,)
     if isinstance(current, bool):
         if isinstance(value, str):
-            # tri-state fields (e.g. model.remat=block) keep the string
-            if value.lower() in ("true", "false", "1", "0"):
-                value = value.lower() in ("true", "1")
+            low = value.lower()
+            if low in ("true", "1", "yes", "on"):
+                value = True
+            elif low in ("false", "0", "no", "off"):
+                value = False
+            elif name == "remat":
+                pass  # the one tri-state field: model.remat=block|level
+            else:
+                # never assign a raw (always-truthy) string to a bool field
+                raise ValueError(
+                    f"invalid boolean for {dotted}: {value!r} "
+                    f"(use true/false)")
         else:
             value = bool(value)
     elif isinstance(current, int) and not isinstance(value, bool) and isinstance(value, float):

@@ -212,6 +212,12 @@ class CxxBatchLoader:
         self._lib.urd_release(self._h, slot)
 
     def seek(self, cursor: int):
+        """Restore the data cursor. Only valid on a stopped loader — the
+        C++ fill workers derive each ticket's event range from the cursor
+        at fill time, so seeking mid-stream would interleave two streams
+        and break deterministic resume (same contract as BatchLoader.seek)."""
+        if self._started:
+            raise RuntimeError("seek() requires a stopped loader")
         self._lib.urd_seek(self._h, cursor)
 
     def num_events(self) -> int:

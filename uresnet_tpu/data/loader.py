@@ -209,8 +209,12 @@ class BatchLoader:
                 order = epoch_order(n, self.cfg.seed, epoch,
                                     self.cfg.random_access and self.train)
                 self._orders[epoch] = order
-                for k in [k for k in self._orders if k < epoch - 1]:
-                    del self._orders[k]  # bound the cache; regenerable
+                # bound the cache but keep a few epochs: with deep producer
+                # pipelines on tiny datasets, in-flight tickets can span
+                # several epochs — evicting a still-active epoch forces an
+                # O(n) Fisher-Yates regeneration under the lock per lookup
+                for k in [k for k in self._orders if k < epoch - 3]:
+                    del self._orders[k]  # regenerable (pure fn of seed+epoch)
         return self._index[order[within]]
 
     def _claim(self):
@@ -287,6 +291,7 @@ class BatchLoader:
 
     def start(self, num_threads: Optional[int] = None) -> "BatchLoader":
         n = num_threads if num_threads is not None else self.cfg.num_threads
+        self._stop.clear()          # allow stop() -> start() restart
         for _ in range(max(1, n)):
             t = threading.Thread(target=self._worker, daemon=True)
             t.start()
@@ -315,6 +320,16 @@ class BatchLoader:
         for t in self._threads:
             t.join(timeout=2.0)
         self._threads = []
+        # Restartable contract: rewind to the position after the last
+        # CONSUMED batch and drop claimed-but-undelivered tickets, so a
+        # later start() resumes the exact deterministic stream (without
+        # this, holes in the ticket sequence hang the consumer forever).
+        with self._cond:
+            inflight = self._next_ticket - self._next_consume
+            self._cursor -= inflight * self._events_per_batch
+            self._ready.clear()
+            self._next_ticket = 0
+            self._next_consume = 0
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
