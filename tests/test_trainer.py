@@ -274,7 +274,11 @@ def test_steps_per_dispatch_bit_exact(tmp_path):
     for k in (1, 4):
         cfg = tiny_config(tmp_path / f"k{k}")
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(
+            cfg,
+            # augment=True: covers the per-scanned-step key chain AND the
+            # in-scatter augmentation path (tiny_config is sparse-transfer)
+            data=dataclasses.replace(cfg.data, augment=True),
+            train=dataclasses.replace(
                 cfg.train, iterations=8, summary_iter=4, checkpoint_iter=0,
                 val_iter=0, steps_per_dispatch=k))
         tr = Trainer(cfg, mesh=make_mesh(1))
