@@ -25,6 +25,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--dims", type=int, default=2, choices=(2, 3),
+                   help="3: profile the 3D flagship (192^3, depth 4, block "
+                        "remat — configs/train_3d_192.yaml geometry)")
+    p.add_argument("--depth", type=int, default=None)
+    p.add_argument("--remat", default=None,
+                   help="override model.remat (e.g. block, level, false)")
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--outdir", default="/tmp/uresnet_profile")
@@ -37,19 +43,35 @@ def main():
     from uresnet_tpu.engine.trainer import Trainer
     from uresnet_tpu.parallel.mesh import make_mesh
 
-    cfg = Config(
-        model=ModelConfig(base_filters=16, depth=5,
-                          compute_dtype="bfloat16", pack=True,
-                          pack_extra_h=not args.no_pack_extra_h),
-        data=DataConfig(image_size=args.size, batch_size=args.batch))
+    if args.dims == 3:
+        depth = args.depth if args.depth is not None else 4
+        remat = "block" if args.remat is None else (
+            False if args.remat in ("false", "False", "0") else args.remat)
+        mcfg = ModelConfig(dims=3, base_filters=16, depth=depth,
+                           compute_dtype="bfloat16", pack=True, remat=remat)
+    else:
+        depth = args.depth if args.depth is not None else 5
+        mcfg = ModelConfig(base_filters=16, depth=depth,
+                           compute_dtype="bfloat16", pack=True,
+                           pack_extra_h=not args.no_pack_extra_h)
+        if args.remat is not None:
+            import dataclasses
+
+            mcfg = dataclasses.replace(mcfg, remat=(
+                False if args.remat in ("false", "False", "0")
+                else args.remat))
+    cfg = Config(model=mcfg,
+                 data=DataConfig(image_size=args.size,
+                                 batch_size=args.batch))
     tr = Trainer(cfg, mesh=make_mesh())
     ts = tr.init_state()
     rng = np.random.default_rng(0)
     S, B = args.size, args.batch
+    sp = (S,) * args.dims
     batch = tr._device_batch({
-        "data": rng.random((B, S, S, 1), np.float32).astype(np.float32),
-        "label": rng.integers(0, 3, (B, S, S)).astype(np.int32),
-        "weight": np.ones((B, S, S), np.float32)})
+        "data": rng.random((B,) + sp + (1,), np.float32).astype(np.float32),
+        "label": rng.integers(0, 3, (B,) + sp).astype(np.int32),
+        "weight": np.ones((B,) + sp, np.float32)})
     ts, m = tr.train_step(ts, batch)
     float(m["loss"])  # compile + sync
 

@@ -39,6 +39,7 @@ enum WeightMode : int32_t {
   kWeightOnes = 0,
   kWeightClassBalance = 1,
   kWeightNonzero = 2,
+  kWeightFile = 3,  // per-point weights stored in the USEF v2 file
 };
 
 struct EventRef {
@@ -64,6 +65,7 @@ struct SplitMix64 {
 
 struct FileInfo {
   std::string path;
+  uint32_t version;  // 1 | 2 (v2 adds optional per-point weights)
   uint32_t ndims;
   std::vector<uint64_t> offsets;
 };
@@ -91,10 +93,11 @@ bool read_header(const std::string& path, FileInfo* info) {
   uint32_t magic, version, ndims;
   uint64_t n;
   if (!r.read(&magic, 4) || magic != kMagic) return false;
-  if (!r.read(&version, 4) || version != 1) return false;
+  if (!r.read(&version, 4) || (version != 1 && version != 2)) return false;
   if (!r.read(&ndims, 4)) return false;
   if (!r.read(&n, 8)) return false;
   info->path = path;
+  info->version = version;
   info->ndims = ndims;
   info->offsets.resize(n);
   if (n && !r.read(info->offsets.data(), 8 * n)) return false;
@@ -107,9 +110,11 @@ struct SparsePlane {
   std::vector<int32_t> coords;  // npoints * ndims
   std::vector<float> values;
   std::vector<uint8_t> labels;
+  std::vector<float> weights;  // v2 per-point weight product (empty = none)
+  bool has_weights = false;
 };
 
-bool read_event(Reader& r, uint64_t offset, uint32_t ndims,
+bool read_event(Reader& r, uint64_t offset, uint32_t version, uint32_t ndims,
                 std::vector<SparsePlane>* planes) {
   if (!r.seek(offset)) return false;
   uint32_t num_planes;
@@ -130,6 +135,17 @@ bool read_event(Reader& r, uint64_t offset, uint32_t ndims,
       if (!r.read(pl.values.data(), 4 * n)) return false;
       if (!r.read(pl.labels.data(), n)) return false;
     }
+    pl.has_weights = false;
+    pl.weights.clear();
+    if (version >= 2) {
+      uint8_t has_w;
+      if (!r.read(&has_w, 1)) return false;
+      if (has_w) {
+        pl.has_weights = true;
+        pl.weights.resize(n);
+        if (n && !r.read(pl.weights.data(), 4 * n)) return false;
+      }
+    }
   }
   return true;
 }
@@ -148,8 +164,10 @@ struct DenseConfig {
   int32_t num_class;
 };
 
-void densify_plane(const SparsePlane& pl, const DenseConfig& cfg, float* data,
-                   int32_t* label, float* weight) {
+// Returns nullptr on success, or a static error string (surfaced through
+// urd_last_error by the calling worker — workers must not throw).
+const char* densify_plane(const SparsePlane& pl, const DenseConfig& cfg,
+                          float* data, int32_t* label, float* weight) {
   const int nd = cfg.ndims;
   const int64_t target = cfg.image_size;
   int64_t npix = 1;
@@ -200,6 +218,14 @@ void densify_plane(const SparsePlane& pl, const DenseConfig& cfg, float* data,
     if (lo > hi) lo = hi;
     origin[d] = lo;
   }
+  const bool file_weights = cfg.weight_mode == kWeightFile;
+  if (file_weights) {
+    if (!pl.has_weights)
+      return "weight_mode='file' but the plane carries no stored weights "
+             "(USEF v1 file, or converted without --weight-producer)";
+    // background pixels take weight 1.0 (data/pipeline.py 'file' mode)
+    for (int64_t i = 0; i < npix; ++i) weight[i] = 1.0f;
+  }
   for (size_t i = 0; i < n; ++i) {
     int64_t flat = 0;
     bool in = true;
@@ -217,6 +243,7 @@ void densify_plane(const SparsePlane& pl, const DenseConfig& cfg, float* data,
     if (v > cfg.normalize_clip) v = cfg.normalize_clip;
     data[flat] = v;
     label[flat] = pl.labels[i];
+    if (file_weights) weight[flat] = pl.weights[i];
   }
 
   switch (cfg.weight_mode) {
@@ -229,7 +256,14 @@ void densify_plane(const SparsePlane& pl, const DenseConfig& cfg, float* data,
       break;
     case kWeightClassBalance: {
       std::vector<int64_t> counts(cfg.num_class, 0);
-      for (int64_t i = 0; i < npix; ++i) counts[label[i]]++;
+      for (int64_t i = 0; i < npix; ++i) {
+        // bounds-checked: a corrupt label would otherwise index past
+        // `counts` (mirrors the loud failure in data/pipeline.py)
+        if (label[i] < 0 || label[i] >= cfg.num_class)
+          return "label value >= num_class (corrupt file or wrong "
+                 "num_class)";
+        counts[label[i]]++;
+      }
       std::vector<float> w(cfg.num_class, 0.f);
       for (int c = 0; c < cfg.num_class; ++c)
         if (counts[c])
@@ -237,9 +271,12 @@ void densify_plane(const SparsePlane& pl, const DenseConfig& cfg, float* data,
       for (int64_t i = 0; i < npix; ++i) weight[i] = w[label[i]];
       break;
     }
+    case kWeightFile:
+      break;  // filled in the scatter loop above
     default:
-      throw std::runtime_error("bad weight mode");
+      return "bad weight mode";
   }
+  return nullptr;
 }
 
 }  // namespace
@@ -270,6 +307,8 @@ struct urd_config {
   int32_t shard_count;  // every shard_count-th event; batch_size stays the
                         // GLOBAL batch (local rows = batch/shard_count).
                         // shard_count <= 0 means 1.
+  int32_t sparse_weights;  // 1: sparse batches also carry the per-point
+                           // file weights (USEF v2, weight_mode='file')
 };
 
 struct urd_batch {
@@ -286,6 +325,8 @@ struct urd_batch {
   const int16_t* coords;   // (batch, max_points, ndims)
   const float* values;     // (batch, max_points)
   const uint8_t* slabels;  // (batch, max_points)
+  const float* sweights;   // (batch, max_points) — only when
+                           // cfg.sparse_weights (USEF v2 file weights)
   const int32_t* npoints;  // (batch,)
   const int32_t* shape;    // (batch, ndims)
   int64_t cursor;        // event cursor AFTER this batch (resume contract)
@@ -309,6 +350,7 @@ struct urd_handle {
     std::vector<int16_t> coords;
     std::vector<float> values;
     std::vector<uint8_t> slabels;
+    std::vector<float> sweights;
     std::vector<int32_t> npoints;
     std::vector<int32_t> shape;
     int64_t cursor = 0;
@@ -432,6 +474,7 @@ urd_handle* urd_open(const char** paths, int n_paths, const urd_config* cfg) {
       s.coords.resize(rows * P * cfg->ndims);
       s.values.resize(rows * P);
       s.slabels.resize(rows * P);
+      if (cfg->sparse_weights) s.sweights.resize(rows * P);
       s.npoints.resize(rows);
       s.shape.resize(rows * cfg->ndims);
     } else {
@@ -511,6 +554,7 @@ static void fill_worker(urd_handle* h) {
       }
       const EventRef& ref = h->index[ev_idx];
       if (!read_event(readers[ref.file_idx], ref.offset,
+                      h->files[ref.file_idx].version,
                       h->files[ref.file_idx].ndims, &planes)) {
         ok = false;
         break;
@@ -546,17 +590,47 @@ static void fill_worker(urd_handle* h) {
             ok = false;
             break;
           }
+          // Validate BEFORE the narrowing casts: an out-of-shape coord
+          // would silently wrap through (int16_t) — fail loudly like the
+          // extent check (mirrors data/pipeline.py sparse_batch).
+          for (size_t i = 0; i < n * (size_t)nd && ok; ++i) {
+            int32_t c = pl->coords[i];
+            if (c < 0 || (uint32_t)c >= pl->shape[i % nd]) {
+              fail_reason = "coordinate outside the declared plane shape "
+                            "(corrupt file)";
+              ok = false;
+            }
+          }
+          if (!ok) break;
           for (size_t i = 0; i < n * (size_t)nd; ++i)
             cdst[i] = (int16_t)pl->coords[i];
           std::memcpy(vdst, pl->values.data(), n * sizeof(float));
           for (size_t i = 0; i < n; ++i) ldst[i] = (uint8_t)pl->labels[i];
+          if (h->cfg.sparse_weights) {
+            float* wdst = slot->sweights.data() + img * P;
+            std::memset(wdst, 0, P * sizeof(float));
+            if (!pl->has_weights) {
+              fail_reason = "weight_mode='file' but the plane carries no "
+                            "stored weights (USEF v1 file, or converted "
+                            "without --weight-producer)";
+              ok = false;
+              break;
+            }
+            std::memcpy(wdst, pl->weights.data(), n * sizeof(float));
+          }
           slot->npoints[img] = (int32_t)n;
           for (int d = 0; d < nd; ++d)
             slot->shape[img * nd + d] = (int32_t)pl->shape[d];
         } else {
-          densify_plane(*pl, dc, slot->data.data() + img * h->pix_per_image,
-                        slot->label.data() + img * h->pix_per_image,
-                        slot->weight.data() + img * h->pix_per_image);
+          const char* err = densify_plane(
+              *pl, dc, slot->data.data() + img * h->pix_per_image,
+              slot->label.data() + img * h->pix_per_image,
+              slot->weight.data() + img * h->pix_per_image);
+          if (err) {
+            fail_reason = err;
+            ok = false;
+            break;
+          }
         }
       }
     }
@@ -577,6 +651,13 @@ static void fill_worker(urd_handle* h) {
 
 int urd_start(urd_handle* h, int num_threads) {
   if (num_threads < 1) num_threads = 1;
+  {
+    // same-handle restart contract (mirrors data/loader.py stop()/start()):
+    // urd_stop already rewound the ticket/slot state, so clearing
+    // `stopping` here resumes the exact deterministic stream.
+    std::lock_guard<std::mutex> lk(h->mu);
+    h->stopping = false;
+  }
   for (int i = 0; i < num_threads; ++i)
     h->workers.emplace_back(fill_worker, h);
   return 0;
@@ -602,6 +683,8 @@ int urd_next(urd_handle* h, urd_batch* out) {
     out->coords = slot->coords.data();
     out->values = slot->values.data();
     out->slabels = slot->slabels.data();
+    out->sweights =
+        h->cfg.sparse_weights ? slot->sweights.data() : nullptr;
     out->npoints = slot->npoints.data();
     out->shape = slot->shape.data();
     out->data = nullptr;
@@ -614,6 +697,7 @@ int urd_next(urd_handle* h, urd_batch* out) {
     out->coords = nullptr;
     out->values = nullptr;
     out->slabels = nullptr;
+    out->sweights = nullptr;
     out->npoints = nullptr;
     out->shape = nullptr;
   }
@@ -637,6 +721,23 @@ void urd_stop(urd_handle* h) {
   }
   for (auto& t : h->workers) t.join();
   h->workers.clear();
+  // Restartable contract (mirrors data/loader.py stop()): rewind to the
+  // position after the last CONSUMED batch, drop claimed-but-undelivered
+  // tickets, and reset the slot ring so a later urd_start (or urd_seek +
+  // urd_start) resumes the exact deterministic stream. All workers are
+  // joined above, so no fill races this reset. Zero-copy views handed out
+  // before the stop (urd_next without release) are invalidated by a
+  // restart — consumers must copy or release before stopping.
+  std::lock_guard<std::mutex> lk(h->mu);
+  h->start_cursor += (int64_t)h->next_consume_ticket * h->events_per_batch;
+  h->next_fill_ticket.store(0);
+  h->next_consume_ticket = 0;
+  for (size_t i = 0; i < h->slots.size(); ++i) {
+    h->slots[i].state = urd_handle::Slot::kFree;
+    h->slots[i].ticket = 0;
+    h->slots[i].expected = i;  // ticket i fills slot i again after restart
+  }
+  h->error.clear();  // a pre-stop worker error dies with its stream
 }
 
 void urd_close(urd_handle* h) {

@@ -30,6 +30,7 @@ struct urd_config {
   int32_t max_points;
   int32_t shard_rank;
   int32_t shard_count;
+  int32_t sparse_weights;
 };
 struct urd_batch {
   const float* data;
@@ -38,6 +39,7 @@ struct urd_batch {
   const int16_t* coords;   // narrow wire dtypes — keep in sync with
   const float* values;     // decoder.cpp urd_batch
   const uint8_t* slabels;
+  const float* sweights;
   const int32_t* npoints;
   const int32_t* shape;
   int64_t cursor;
@@ -189,7 +191,71 @@ int main() {
     urd_close(h);
   }
 
+  // same-handle restart: stop() rewinds to after the last CONSUMED batch
+  // and start() resumes the exact stream (round-3; the slot ring and
+  // ticket counters reset under the workers' join)
+  {
+    urd_config cfg{};
+    cfg.image_size = 32;
+    cfg.ndims = 2;
+    cfg.batch_size = 4;
+    cfg.num_class = 3;
+    cfg.n_planes = 1;
+    cfg.planes[0] = 0;
+    cfg.normalize_scale = 0.01f;
+    cfg.normalize_clip = 10.0f;
+    cfg.weight_mode = 1;
+    cfg.random_access = 1;
+    cfg.seed = 42;
+    cfg.num_batch_storage = 3;
+    const char* paths[1] = {path.c_str()};
+    urd_handle* h = urd_open(paths, 1, &cfg);
+    assert(h);
+    size_t n = (size_t)cfg.batch_size * 32 * 32;
+    std::vector<std::vector<float>> got;
+    urd_start(h, 3);
+    for (int k = 0; k < 3; ++k) {
+      urd_batch b{};
+      int slot = urd_next(h, &b);
+      assert(slot >= 0);
+      got.emplace_back(b.data, b.data + n);
+      urd_release(h, slot);
+    }
+    urd_stop(h);
+    urd_start(h, 2);  // restart mid-stream with a different thread count
+    for (int k = 3; k < 6; ++k) {
+      urd_batch b{};
+      int slot = urd_next(h, &b);
+      assert(slot >= 0);
+      got.emplace_back(b.data, b.data + n);
+      urd_release(h, slot);
+    }
+    urd_stop(h);
+    urd_close(h);
+    // must equal the uninterrupted shuffled stream (fresh handle, 1 thread)
+    auto plain = [&](int batches) {
+      urd_handle* h2 = urd_open(paths, 1, &cfg);
+      assert(h2);
+      urd_start(h2, 1);
+      std::vector<std::vector<float>> out;
+      for (int k = 0; k < batches; ++k) {
+        urd_batch b{};
+        int slot = urd_next(h2, &b);
+        assert(slot >= 0);
+        out.emplace_back(b.data, b.data + n);
+        urd_release(h2, slot);
+      }
+      urd_stop(h2);
+      urd_close(h2);
+      return out;
+    };
+    auto ref = plain(6);
+    for (int k = 0; k < 6; ++k)
+      assert(std::memcmp(got[k].data(), ref[k].data(),
+                         n * sizeof(float)) == 0);
+  }
+
   printf("selftest OK (%zu batches, deterministic across thread counts; "
-         "sparse mode OK)\n", a.size());
+         "sparse mode OK; same-handle restart OK)\n", a.size());
   return 0;
 }

@@ -52,3 +52,25 @@ def test_augment_3d(rng):
     out = augment_batch(jax.random.PRNGKey(1), b, dims=3)
     np.testing.assert_array_equal(np.asarray(out["data"][..., 0] > 0),
                                   np.asarray(out["label"]) > 0)
+
+
+def test_augment_is_per_image(rng):
+    """Two rows of one batch must be able to receive DIFFERENT transforms
+    ((2^3)^B states, not 2^3 — round-2 review finding). With 16 rows and
+    several keys, per-batch decisions would transform all rows identically
+    every time; per-image decisions diverge with overwhelming probability."""
+    B, S = 16, 8
+    base = np.zeros((B, S, S), np.float32)
+    base[:, 0, 0] = 1.0                      # corner marker per row
+    b = {"data": jnp.asarray(base[..., None]),
+         "label": jnp.asarray((base > 0).astype(np.int32)),
+         "weight": jnp.asarray(np.ones_like(base))}
+    diverged = False
+    for seed in range(8):
+        out = np.asarray(augment_batch(jax.random.PRNGKey(seed), b,
+                                       dims=2)["data"])[..., 0]
+        corners = {tuple(np.argwhere(out[i])[0]) for i in range(B)}
+        if len(corners) > 1:
+            diverged = True
+            break
+    assert diverged, "all rows always received the identical transform"

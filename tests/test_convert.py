@@ -243,3 +243,66 @@ def test_convert_3d_voxels(tmp_path):
     np.testing.assert_array_equal(back[0].planes[0].coords, pl.coords)
     np.testing.assert_array_equal(back[0].planes[0].values, pl.values)
     np.testing.assert_array_equal(back[0].planes[0].labels, pl.labels)
+
+
+def test_convert_weight_producer(tmp_path):
+    """--weight-producer: weight images sampled at the charge coords land
+    as USEF v2 per-point weights, round-trip intact, and feed
+    weight_mode='file' (SURVEY.md §2.1 data/label/weight)."""
+    from tools.convert_larcv import convert
+    from uresnet_tpu.config import DataConfig
+    from uresnet_tpu.data.events import read_events, read_header, write_events
+    from uresnet_tpu.data.loader import BatchLoader
+
+    d = np.zeros((16, 16), np.float32)
+    d[3, 4] = 5.0
+    d[9, 9] = 2.0
+    l = np.zeros((16, 16), np.float32)
+    l[3, 4] = 1
+    l[9, 9] = 2
+    w = np.ones((16, 16), np.float32)
+    w[3, 4] = 7.5
+    w[9, 9] = 0.25
+    io = FakeIO([{"wire": [d], "segment": [l], "weight": [w]}])
+    events = convert(io, "wire", "segment", set(), [],
+                     weight_producer="weight")
+    pl = events[0].planes[0]
+    got = {tuple(c): wv for c, wv in zip(pl.coords, pl.weights)}
+    assert got[(3, 4)] == 7.5 and got[(9, 9)] == 0.25
+
+    path = str(tmp_path / "w.usef")
+    write_events(path, events, ndims=2)
+    assert read_header(path)[0] == 2
+    back = read_events(path)
+    np.testing.assert_array_equal(back[0].planes[0].weights, pl.weights)
+
+    cfg = DataConfig(image_size=16, batch_size=1, planes=(0,),
+                     input_files=(path,), synthetic=False,
+                     random_access=False, transfer="dense",
+                     weight_mode="file")
+    b = BatchLoader(cfg, num_class=3).next()
+    assert b["weight"][0, 3, 4] == 7.5
+    assert b["weight"][0, 9, 9] == 0.25
+    assert b["weight"].sum() == 16 * 16 - 2 + 7.5 + 0.25
+
+
+def test_convert_3d_weight_producer():
+    from tools.convert_larcv import convert_3d
+
+    nx, ny, nz = 8, 6, 4
+
+    def vid(x, y, z):
+        return x + nx * (y + ny * z)
+
+    data_vox = [_Voxel(vid(1, 2, 3), 5.0), _Voxel(vid(7, 0, 0), 2.0)]
+    lab_vox = [_Voxel(vid(1, 2, 3), 1.0)]
+    w_vox = [_Voxel(vid(1, 2, 3), 3.5)]     # (7,0,0) missing -> 1.0
+    meta = _Meta3D(nx, ny, nz)
+    io = FakeIO3D([{"wire": _Sparse3D(data_vox, meta),
+                    "segment": _Sparse3D(lab_vox, meta),
+                    "weight": _Sparse3D(w_vox, meta)}])
+    events = convert_3d(io, "wire", "segment", [], weight_producer="weight")
+    pl = events[0].planes[0]
+    got = {tuple(c): wv for c, wv in zip(pl.coords, pl.weights)}
+    assert got[(1, 2, 3)] == 3.5
+    assert got[(7, 0, 0)] == 1.0

@@ -259,3 +259,113 @@ def test_cxx_seek_requires_stopped_loader(tmp_path):
         ld.seek(0)
     ld.stop()
     ld.close()
+
+
+# ---------------------------------------------------------------------------
+# USEF v2: per-point file weights (the reference's weight product)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_event(rng, shape=(128, 128), planes=(0, 1)):
+    """Synthetic event with a stored per-point weight on every plane."""
+    evt = _event(rng, shape=shape, planes=planes)
+    for pl in evt.planes:
+        pl.weights = rng.uniform(0.1, 5.0, len(pl.values)).astype(np.float32)
+    return evt
+
+
+def test_usef_v2_roundtrip(tmp_path, rng):
+    events = [_weighted_event(rng) for _ in range(4)]
+    events[2].planes[1].weights = None       # per-plane flag: mixed is legal
+    path = str(tmp_path / "w.usef")
+    write_events(path, events, ndims=2)
+    from uresnet_tpu.data.events import read_header
+    assert read_header(path)[0] == 2         # weights present -> version 2
+    back = read_events(path)
+    for a, b in zip(events, back):
+        for pa, pb in zip(a.planes, b.planes):
+            np.testing.assert_array_equal(pa.coords, pb.coords)
+            np.testing.assert_array_equal(pa.values, pb.values)
+            np.testing.assert_array_equal(pa.labels, pb.labels)
+            if pa.weights is None:
+                assert pb.weights is None
+            else:
+                np.testing.assert_array_equal(pa.weights, pb.weights)
+
+
+def test_usef_weightless_stays_v1(tmp_path, rng):
+    """No weights anywhere -> byte-identical v1 output (old readers and
+    round-2 goldens unaffected)."""
+    events = [_event(rng) for _ in range(2)]
+    path = str(tmp_path / "v1.usef")
+    write_events(path, events, ndims=2)
+    from uresnet_tpu.data.events import read_header
+    assert read_header(path)[0] == 1
+
+
+def test_densify_file_weight_mode(rng):
+    evt = _weighted_event(rng, planes=(0,))
+    pl = evt.planes[0]
+    d, l, w = densify_plane(pl, image_size=64, normalize_scale=0.01,
+                            normalize_clip=10.0, weight_mode="file",
+                            num_class=3)
+    # background pixels -> 1.0; charge pixels -> the stored weight
+    shifted, mask = crop_or_pad_coords(pl.coords, pl.shape, 64,
+                                       values=pl.values)
+    idx = tuple(shifted[mask].T)
+    np.testing.assert_array_equal(w[idx], pl.weights[mask])
+    untouched = np.ones((64, 64), bool)
+    untouched[idx] = False
+    assert (w[untouched] == 1.0).all()
+
+
+def test_densify_file_weight_mode_requires_weights(rng):
+    evt = _event(rng, planes=(0,))
+    with pytest.raises(ValueError, match="no stored weights"):
+        densify_plane(evt.planes[0], image_size=64, normalize_scale=0.01,
+                      normalize_clip=10.0, weight_mode="file", num_class=3)
+
+
+def test_sparse_batch_carries_file_weights(rng):
+    from uresnet_tpu.data.pipeline import sparse_batch
+
+    events = [_weighted_event(rng, planes=(0, 1)) for _ in range(2)]
+    sp = sparse_batch(events, planes=(0, 1), max_points=2048,
+                      with_weights=True)
+    assert sp["weights"].shape == sp["values"].shape
+    n0 = sp["npoints"][0]
+    np.testing.assert_array_equal(sp["weights"][0, :n0],
+                                  events[0].planes[0].weights[:n0])
+    assert (sp["weights"][0, n0:] == 0).all()          # padding
+
+
+def test_sparse_batch_rejects_out_of_shape_coords(rng):
+    from uresnet_tpu.data.pipeline import sparse_batch
+
+    evt = _event(rng, planes=(0,))
+    evt.planes[0].coords[0] = (5000, 5000)   # outside the 128x128 shape
+    with pytest.raises(ValueError, match="outside the declared plane shape"):
+        sparse_batch([evt], planes=(0,), max_points=2048)
+
+
+def test_class_balance_rejects_label_overflow():
+    pl = SparsePlane(
+        plane_id=0, shape=(64, 64),
+        coords=np.array([[10, 10], [12, 12]], np.int32),
+        values=np.array([5.0, 7.0], np.float32),
+        labels=np.array([1, 200], np.uint8))   # 200 >= num_class
+    with pytest.raises(ValueError, match="num_class"):
+        densify_plane(pl, image_size=64, normalize_scale=0.01,
+                      normalize_clip=10.0, weight_mode="class_balance",
+                      num_class=3)
+
+
+def test_stack_batches_finite_iterator_ends_cleanly():
+    """PEP 479: a bounded source must end the stacked stream, not raise
+    RuntimeError (round-2 advisor finding)."""
+    from uresnet_tpu.data.loader import stack_batches
+
+    src = iter([{"x": np.ones(2), "cursor": np.int64(i)} for i in range(5)])
+    groups = list(stack_batches(src, 2))
+    assert len(groups) == 2                  # partial trailing group dropped
+    assert groups[1]["cursor"] == 3

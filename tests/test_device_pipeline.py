@@ -199,3 +199,61 @@ def test_sparse_packed_loss_trainer_equivalence(tmp_path):
         loader.stop()
         losses[packed] = ls
     np.testing.assert_allclose(losses[False], losses[True], rtol=1e-5)
+
+
+# -- round-3: file-driven weight product (USEF v2) on device
+
+
+def _weighted_events(n=3, shape=(128, 128), planes=(0, 1), seed=23):
+    rng = np.random.default_rng(seed)
+    events = [generate_event(rng, shape=shape, planes=planes)
+              for _ in range(n)]
+    for evt in events:
+        for pl in evt.planes:
+            pl.weights = rng.uniform(0.1, 4.0,
+                                     len(pl.values)).astype(np.float32)
+    return events
+
+
+def test_device_densify_file_weights_match_host():
+    events = _weighted_events()
+    kw = dict(image_size=64, normalize_scale=0.01, normalize_clip=5.0,
+              weight_mode="file", num_class=3)
+    want = densify_batch(events, planes=(0, 1), **kw)
+    sp = sparse_batch(events, planes=(0, 1), max_points=2048,
+                      with_weights=True)
+    got = jax.device_get(densify_on_device(
+        sp, image_size=64, num_class=3, normalize_scale=0.01,
+        normalize_clip=5.0, weight_mode="file"))
+    np.testing.assert_array_equal(got["label"], want["label"])
+    np.testing.assert_allclose(got["data"], want["data"], rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_array_equal(got["weight"], want["weight"])
+
+
+def test_device_densify_file_weights_augment_and_packed():
+    """File weights ride the augment bijection and the packed-target
+    scatter exactly like label/weight maps do."""
+    from uresnet_tpu.config import ModelConfig
+    from uresnet_tpu.engine.augment import augment_batch
+    from uresnet_tpu.models.packed import loss_layout_phases, pack_like_logits
+
+    events = _weighted_events(planes=(0,))
+    sp = sparse_batch(events, planes=(0,), max_points=2048,
+                      with_weights=True)
+    kw = dict(image_size=32, weight_mode="file")
+    # augment: in-scatter == image-space, bit-for-bit
+    key = jax.random.PRNGKey(3)
+    plain = densify_on_device(sp, **kw)
+    want = jax.device_get(augment_batch(key, dict(plain), dims=2))
+    got = jax.device_get(densify_on_device(sp, **kw, augment_key=key))
+    np.testing.assert_array_equal(got["weight"], want["weight"])
+    # packed targets: scatter == pack_like_logits of the canonical map
+    mcfg = ModelConfig(dims=2, base_filters=4, pack=True,
+                       compute_dtype="float32")
+    ph = loss_layout_phases(mcfg)
+    gotp = jax.device_get(densify_on_device(sp, **kw, target_phases=ph))
+    want_w = jax.device_get(
+        pack_like_logits(np.asarray(plain["weight"])[..., None], mcfg))
+    np.testing.assert_array_equal(gotp["weight"],
+                                  want_w.reshape(gotp["weight"].shape))

@@ -127,3 +127,122 @@ def test_loader_kill_and_restart(setup):
     for l in (loader, loader2, loader3):
         if hasattr(l, "close"):
             l.close()
+
+
+def test_evaluate_dataset_exact_counts_each_event_once(setup):
+    """num_batches=None (the gate mode): a 6-event file with 2 events/batch
+    -> exactly 3 batches, every event once (the old fixed-16-batch sampler
+    wrapped this file ~5x). Oracle: densify ALL events in one numpy pass
+    and compute the dataset-global confusion directly."""
+    from uresnet_tpu.data import events as ev
+    from uresnet_tpu.data.pipeline import densify_batch
+    from uresnet_tpu.engine.metrics import metrics_from_counts
+
+    trainer, ts, path, tmp = setup
+    m = evaluate_dataset(trainer, ts)           # exact mode
+    assert m["n_events"] == 6
+
+    events = ev.read_events(path)
+    batch = densify_batch(events, image_size=64, planes=(0, 1),
+                          weight_mode="ones", num_class=3)
+    # forward with the SAME ts the evaluator used
+    preds = []
+    for i in range(0, 12, 4):                    # forward is jitted for B=4
+        preds.append(np.asarray(
+            trainer.forward(ts, batch["data"][i:i + 4])).argmax(-1))
+    pred = np.concatenate(preds)
+    C = 3
+    conf = np.bincount((pred.astype(np.int64) * C
+                        + batch["label"].astype(np.int64)).ravel(),
+                       minlength=C * C).reshape(C, C).astype(np.float64)
+    nz = batch["data"][..., 0] > 0
+    want = metrics_from_counts({
+        "conf": conf, "n_pixels": float(pred.size),
+        "correct_nonzero": float((pred[nz] == batch["label"][nz]).sum()),
+        "n_nonzero": float(nz.sum())})
+    # model-free counts must match EXACTLY: any wrapped/double-counted
+    # event would inflate them (6 events x 2 planes x 64^2 pixels)
+    assert m["n_pixels"] == 6 * 2 * 64 * 64
+    assert m["n_nonzero"] == float(nz.sum())
+    # metric agreement at near-tie tolerance: the evaluator's fused
+    # forward+counts program and trainer.forward are different XLA
+    # programs; on an untrained net a few ~equal-logit pixels argmax-flip
+    for k in ("acc_all", "acc_nonzero", "miou", "iou_class0", "iou_class1",
+              "iou_class2"):
+        assert abs(m[k] - want[k]) < 5e-3, (k, m[k], want[k])
+
+
+def test_evaluate_dataset_exact_masks_wrapped_tail(tmp_path):
+    """Event count NOT divisible by events-per-batch: the final batch's
+    wrapped rows must be masked out (5 events, 2/batch -> 3 batches, one
+    masked event). Witness: the model-free pixel counts."""
+    from uresnet_tpu.data import events as ev
+    from uresnet_tpu.data.pipeline import densify_batch
+
+    path = generate_file(str(tmp_path / "odd.usef"), 5, seed=33,
+                         shape=(128, 128), planes=(0, 1))
+    cfg = Config(
+        model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=64, batch_size=4, planes=(0, 1),
+                        input_files=(path,), synthetic=False,
+                        random_access=False),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "c"),
+                          log_dir=str(tmp_path / "l")),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    m = evaluate_dataset(trainer, trainer.init_state())
+    batch = densify_batch(ev.read_events(path), image_size=64, planes=(0, 1),
+                          weight_mode="ones", num_class=3)
+    assert m["n_events"] == 5
+    assert m["n_pixels"] == 5 * 2 * 64 * 64        # NOT 6 * 2 * 64 * 64
+    assert m["n_nonzero"] == float((batch["data"][..., 0] > 0).sum())
+
+
+def test_run_inference_reports_same_miou_as_exact_eval(setup):
+    """Both gate surfaces — `infer --metrics-only` (evaluate_dataset exact)
+    and the score-export pass (run_inference) — must report the SAME
+    dataset mIoU (VERDICT r2 missing #2)."""
+    trainer, ts, path, tmp = setup
+    m_eval = evaluate_dataset(trainer, ts)
+    m_inf = run_inference(trainer, ts, path, str(tmp / "gate.npz"))
+    # both passes visit the same pixels exactly once (model-free check)
+    assert m_eval["n_nonzero"] == m_inf["n_pixels"]
+    # metric agreement at near-tie tolerance (different XLA programs
+    # argmax-flip a few ~equal-logit pixels on an untrained net)
+    for k in ("acc_all", "acc_nonzero", "miou", "iou_class0", "iou_class1",
+              "iou_class2"):
+        assert abs(m_eval[k] - m_inf[k]) < 5e-3, (k, m_eval[k], m_inf[k])
+
+
+def test_streamed_inference_matches_host_path(setup):
+    """The streamed ana path (threaded loader -> sparse transfer -> fused
+    device densify + forward, round-3) must export BYTE-IDENTICAL results
+    to the legacy synchronous host-densify path."""
+    trainer, ts, path, tmp = setup
+    m_host = run_inference(trainer, ts, path, str(tmp / "host.npz"),
+                           streamed=False)
+    m_str = run_inference(trainer, ts, path, str(tmp / "streamed.npz"),
+                          streamed=True)
+    assert m_host["n_events"] == m_str["n_events"]
+    assert m_host["n_pixels"] == m_str["n_pixels"]
+    zh = np.load(str(tmp / "host.npz"))
+    zs = np.load(str(tmp / "streamed.npz"))
+    assert set(zh.files) == set(zs.files)
+    for k in zh.files:
+        np.testing.assert_array_equal(zh[k], zs[k], err_msg=k)
+    for k in ("acc_all", "acc_nonzero", "miou"):
+        assert m_host[k] == m_str[k], k
+
+
+def test_streamed_inference_usef_writeback(setup):
+    trainer, ts, path, tmp = setup
+    run_inference(trainer, ts, path, str(tmp / "h.usef"), fmt="usef",
+                  streamed=False)
+    run_inference(trainer, ts, path, str(tmp / "s.usef"), fmt="usef",
+                  streamed=True)
+    with open(str(tmp / "h.usef"), "rb") as f:
+        hb = f.read()
+    with open(str(tmp / "s.usef"), "rb") as f:
+        sb = f.read()
+    assert hb == sb  # byte-identical reference-style writeback

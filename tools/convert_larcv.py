@@ -38,7 +38,7 @@ import sys
 
 
 def convert(io, image_producer: str, label_producer: str, planes,
-            events_out):
+            events_out, weight_producer: str = None):
     """Core mapping loop over an opened larcv IOManager-like object.
 
     `io` must provide: get_n_entries(), read_entry(i),
@@ -56,6 +56,8 @@ def convert(io, image_producer: str, label_producer: str, planes,
         io.read_entry(i)
         imgs = io.get_data("image2d", image_producer).as_vector()
         labs = io.get_data("image2d", label_producer).as_vector()
+        wgts = (io.get_data("image2d", weight_producer).as_vector()
+                if weight_producer else None)
         out_planes = []
         for plane_id, (img, lab) in enumerate(zip(imgs, labs)):
             if planes and plane_id not in planes:
@@ -68,15 +70,24 @@ def convert(io, image_producer: str, label_producer: str, planes,
             coords = np.argwhere(dense != 0).astype(np.int32)
             values = dense[coords[:, 0], coords[:, 1]]
             labels = dense_l[coords[:, 0], coords[:, 1]].astype(np.uint8)
+            weights = None
+            if wgts is not None:
+                # the reference stores weights as parallel Image2D products
+                # (SURVEY.md §2.2): sample the weight image at the charge
+                # coordinates -> USEF v2 per-point weights (events.py)
+                dense_w = np.array(wgts[plane_id].as_vector(),
+                                   dtype=np.float32).reshape(rows, cols)
+                weights = dense_w[coords[:, 0], coords[:, 1]]
             out_planes.append(SparsePlane(plane_id=plane_id,
                                           shape=(rows, cols),
                                           coords=coords, values=values,
-                                          labels=labels))
+                                          labels=labels, weights=weights))
         events_out.append(SparseEvent(out_planes))
     return events_out
 
 
-def convert_3d(io, data_producer: str, label_producer: str, events_out):
+def convert_3d(io, data_producer: str, label_producer: str, events_out,
+               weight_producer: str = None):
     """3D mapping loop (EventSparseTensor3D products).
 
     `io` must provide get_data("sparse3d", producer) -> object with
@@ -114,13 +125,32 @@ def convert_3d(io, data_producer: str, label_producer: str, events_out):
             else np.zeros(len(ids), bool)
         labels = np.where(hit, lab_vals[pos] if len(lab_vals) else 0,
                           0).astype(np.uint8)
+        weights = None
+        if weight_producer:
+            # weight SparseTensor3D: same id join as labels (voxels missing
+            # from the weight set take 1.0 — the densify-time background
+            # weight, data/pipeline.py 'file' mode)
+            wv = io.get_data("sparse3d", weight_producer)
+            wpairs = [(v.id(), v.value()) for v in wv.as_vector()]
+            w_ids = np.fromiter((p[0] for p in wpairs), np.int64, len(wpairs))
+            w_vals = np.fromiter((p[1] for p in wpairs), np.float32,
+                                 len(wpairs))
+            worder = np.argsort(w_ids)
+            w_ids, w_vals = w_ids[worder], w_vals[worder]
+            wpos = np.clip(np.searchsorted(w_ids, ids), 0,
+                           max(len(w_ids) - 1, 0))
+            whit = (len(w_ids) > 0) & (w_ids[wpos] == ids) if len(w_ids) \
+                else np.zeros(len(ids), bool)
+            weights = np.where(whit, w_vals[wpos] if len(w_vals) else 1.0,
+                               1.0).astype(np.float32)
         x = ids % nx
         y = (ids // nx) % ny
         z = ids // (nx * ny)
         coords = np.stack([x, y, z], axis=1).astype(np.int32)
         events_out.append(SparseEvent([SparsePlane(
             plane_id=0, shape=(int(nx), int(ny), int(nz)),
-            coords=coords, values=values, labels=labels)]))
+            coords=coords, values=values, labels=labels,
+            weights=weights)]))
     return events_out
 
 
@@ -130,6 +160,10 @@ def main(argv=None):
     p.add_argument("output")
     p.add_argument("--image-producer", default="wire")
     p.add_argument("--label-producer", default="segment")
+    p.add_argument("--weight-producer", default=None,
+                   help="optional weight-image producer (the reference's "
+                        "per-pixel weight product); stored as USEF v2 "
+                        "per-point weights for data.weight_mode='file'")
     p.add_argument("--planes", type=int, nargs="*", default=None)
     p.add_argument("--mode", default="2d", choices=("2d", "3d"),
                    help="2d: EventImage2D planes; 3d: EventSparseTensor3D")
@@ -150,11 +184,13 @@ def main(argv=None):
     io.add_in_file(args.input)
     io.initialize()
     if args.mode == "3d":
-        events = convert_3d(io, args.image_producer, args.label_producer, [])
+        events = convert_3d(io, args.image_producer, args.label_producer, [],
+                            weight_producer=args.weight_producer)
         write_events(args.output, events, ndims=3)
     else:
         events = convert(io, args.image_producer, args.label_producer,
-                         set(args.planes or []), [])
+                         set(args.planes or []), [],
+                         weight_producer=args.weight_producer)
         write_events(args.output, events, ndims=2)
     print(f"wrote {len(events)} events -> {args.output}")
     return 0

@@ -55,6 +55,13 @@ def main(argv=None):
     print(f"restored step {step}", flush=True)
 
     if args.metrics_only or not args.input:
+        if args.input:
+            # evaluate THE GIVEN held-out file exactly once (parity gate)
+            import dataclasses
+
+            trainer.cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(
+                    cfg.data, input_files=(args.input,), synthetic=False))
         m = evaluate_dataset(trainer, ts)
         print("metrics:", {k: round(v, 5) for k, v in m.items()}, flush=True)
     else:

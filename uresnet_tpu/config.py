@@ -69,6 +69,8 @@ class DataConfig:
     normalize_scale: float = 1.0 / 100.0  # pixel value scale (ADC -> O(1))
     normalize_clip: float = 10.0     # clip normalized values
     weight_mode: str = "class_balance"  # 'ones'|'class_balance'|'nonzero'
+                                        # |'file' (USEF v2 stored weights —
+                                        # the reference's weight product)
     weight_nonzero_boost: float = 1.0
     num_threads: int = 4             # decoder worker threads
     num_batch_storage: int = 4       # rotating host-side batch buffers

@@ -20,7 +20,7 @@ import numpy as np
 
 from uresnet_tpu.config import DataConfig
 
-_WEIGHT_MODES = {"ones": 0, "class_balance": 1, "nonzero": 2}
+_WEIGHT_MODES = {"ones": 0, "class_balance": 1, "nonzero": 2, "file": 3}
 
 _LIB_PATHS = [
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -48,6 +48,7 @@ class _UrdConfig(C.Structure):
         ("max_points", C.c_int32),
         ("shard_rank", C.c_int32),
         ("shard_count", C.c_int32),
+        ("sparse_weights", C.c_int32),
     ]
 
 
@@ -59,6 +60,7 @@ class _UrdBatch(C.Structure):
         ("coords", C.POINTER(C.c_int16)),
         ("values", C.POINTER(C.c_float)),
         ("slabels", C.POINTER(C.c_uint8)),
+        ("sweights", C.POINTER(C.c_float)),
         ("npoints", C.POINTER(C.c_int32)),
         ("shape", C.POINTER(C.c_int32)),
         ("cursor", C.c_int64),
@@ -133,6 +135,7 @@ class CxxBatchLoader:
         paths = list(files if files is not None else cfg.input_files)
         if not paths:
             raise ValueError("CxxBatchLoader requires input files")
+        self._files = paths  # same introspection surface as BatchLoader
         c = _UrdConfig(
             image_size=cfg.image_size,
             ndims=ndims,
@@ -150,8 +153,11 @@ class CxxBatchLoader:
             max_points=cfg.max_points,
             shard_rank=shard[0],
             shard_count=shard[1],
+            sparse_weights=1 if (cfg.transfer == "sparse"
+                                 and cfg.weight_mode == "file") else 0,
         )
         self._sparse = cfg.transfer == "sparse"
+        self._sparse_weights = bool(c.sparse_weights)
         for i, p in enumerate(cfg.planes):
             c.planes[i] = p
         arr = (C.c_char_p * len(paths))(*[p.encode() for p in paths])
@@ -188,6 +194,8 @@ class CxxBatchLoader:
                 "npoints": arr(b.npoints, (B,)),
                 "shape": arr(b.shape, (B, nd)),
             }
+            if self._sparse_weights:
+                out["weights"] = arr(b.sweights, (B, P))
             if copy:
                 out = {k: v.copy() for k, v in out.items()}
             out["cursor"] = np.int64(b.cursor)
@@ -215,7 +223,10 @@ class CxxBatchLoader:
         """Restore the data cursor. Only valid on a stopped loader — the
         C++ fill workers derive each ticket's event range from the cursor
         at fill time, so seeking mid-stream would interleave two streams
-        and break deterministic resume (same contract as BatchLoader.seek)."""
+        and break deterministic resume (same contract as BatchLoader.seek).
+        stop() -> seek() -> start() on the SAME handle resumes the exact
+        deterministic stream (urd_stop rewinds the ticket/slot ring,
+        urd_start clears the stop flag — decoder.cpp)."""
         if self._started:
             raise RuntimeError("seek() requires a stopped loader")
         self._lib.urd_seek(self._h, cursor)

@@ -99,21 +99,23 @@ def densify_on_device(
 
     if augment_key is not None:
         # Mirror augment_batch's key/decision sequence EXACTLY (one
-        # bernoulli per spatial axis, then the 2D rot90) so densify(aug_key)
-        # == augment_batch(aug_key, densify(...)) bit-for-bit
-        # (tests/test_device_pipeline.py).
+        # (B,)-bernoulli PER IMAGE per spatial axis, then the 2D rot90) so
+        # densify(aug_key) == augment_batch(aug_key, densify(...))
+        # bit-for-bit (tests/test_device_pipeline.py). Per-image decisions
+        # are index math on the (B,) axis — still point-cloud cost.
         kf = jax.random.split(augment_key, D + 1)
         s = jnp.clip(shifted, 0, T - 1)
         comps = []
         for d in range(D):
-            do = jax.random.bernoulli(kf[d])
-            comps.append(jnp.where(do, T - 1 - s[..., d], s[..., d]))
+            do = jax.random.bernoulli(kf[d], shape=(B,))
+            comps.append(jnp.where(do[:, None], T - 1 - s[..., d],
+                                   s[..., d]))
         s = jnp.stack(comps, axis=-1)
         if D == 2:
             # np.rot90(a, 1, (1, 2)): out[i, j] = in[j, T-1-i]  =>  a point
             # at (y, x) lands at (T-1-x, y)
-            do = jax.random.bernoulli(kf[D])
-            s = jnp.where(do,
+            do = jax.random.bernoulli(kf[D], shape=(B,))
+            s = jnp.where(do[:, None, None],
                           jnp.stack([T - 1 - s[..., 1], s[..., 0]], -1), s)
         shifted = s
 
@@ -182,6 +184,15 @@ def densify_on_device(
         else:
             data_t = data
         weight = jnp.where(data_t > 0, 1.0 + nonzero_boost, 1.0)
+    elif weight_mode == "file":
+        # file-driven weight product (USEF v2): scatter the per-point
+        # weights at the (possibly packed) target index over a base of 1.0
+        # (background weight — see data/pipeline.py 'file' mode). Padded
+        # rows carry flat_t == npix, so the base survives them via drop.
+        fw = sparse["weights"].astype(jnp.float32)
+        weight = jax.vmap(lambda fi, wi: jnp.ones(
+            (npix + 1,), jnp.float32).at[fi].set(wi, mode="drop")[:npix]
+        )(flat_t, fw).reshape(label.shape)
     elif weight_mode == "class_balance":
         # per-pixel function of the label map — layout-invariant (the pixel
         # multiset is identical in canonical and packed target layouts)

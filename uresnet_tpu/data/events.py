@@ -9,16 +9,26 @@ per wire plane — readable by both numpy (this module) and the C++ decoder
 access (the TTree-random-access equivalent, SURVEY.md §3.4).
 
 Layout (little-endian):
-    header:  magic 'USEF' | u32 version=1 | u32 ndims (2|3) | u64 num_events
+    header:  magic 'USEF' | u32 version (1|2) | u32 ndims (2|3) | u64 num_events
     index:   u64 byte offset of each event (num_events entries)
     event:   u32 num_planes
              per plane: u32 plane_id | u32 shape[ndims] | u32 npoints
                         i32 coords[npoints*ndims] | f32 values[npoints]
                         u8 labels[npoints]
+                        (v2 only) u8 has_weights | f32 weights[npoints] if 1
 
 Labels are sparse at the charge coordinates; pixels with no charge are
 background (class 0) by construction — matching LArTPC semantics where
 ~99% of the image is empty (SURVEY.md §2.1 "Loss & metrics").
+
+Version 2 adds the reference's per-pixel WEIGHT product (SURVEY.md §2.1
+larcv-IO row: BatchFillerImage2D entries for data/label/weight; §2.2
+"weights as parallel images"): an optional f32 weight per point, carried
+alongside charge and label. Weights are sparse at the charge coordinates;
+pixels without a point take weight 1.0 at densify time (plain CE on the
+background — the file-driven maps the reference exports weight the charge
+topology). The writer emits version 1 (bit-identical to round-2 files)
+when no plane carries weights, so v1 readers/goldens are unaffected.
 """
 
 from __future__ import annotations
@@ -30,7 +40,8 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 MAGIC = b"USEF"
-VERSION = 1
+VERSION = 2          # highest version this module reads/writes
+_READABLE = (1, 2)
 
 
 @dataclass
@@ -40,6 +51,8 @@ class SparsePlane:
     coords: np.ndarray                # (npoints, ndims) int32
     values: np.ndarray                # (npoints,) float32
     labels: np.ndarray                # (npoints,) uint8
+    weights: np.ndarray | None = None  # (npoints,) float32 per-pixel weight
+                                       # product (v2; None = not stored)
 
 
 @dataclass
@@ -52,16 +65,23 @@ class SparseEvent:
 
 
 def write_events(path: str, events: Sequence[SparseEvent], ndims: int = 2) -> None:
+    # v1 unless some plane carries weights: weightless files stay
+    # byte-identical to pre-v2 output (old readers/goldens unaffected).
+    version = 1
+    for evt in events:
+        if any(pl.weights is not None for pl in evt.planes):
+            version = 2
+            break
     with open(path, "wb") as f:
         f.write(MAGIC)
-        f.write(struct.pack("<IIQ", VERSION, ndims, len(events)))
+        f.write(struct.pack("<IIQ", version, ndims, len(events)))
         index_pos = f.tell()
         f.write(b"\x00" * (8 * len(events)))  # placeholder index
         offsets = []
-        for ev in events:
+        for evt in events:
             offsets.append(f.tell())
-            f.write(struct.pack("<I", len(ev.planes)))
-            for pl in ev.planes:
+            f.write(struct.pack("<I", len(evt.planes)))
+            for pl in evt.planes:
                 assert pl.coords.shape[1] == ndims
                 f.write(struct.pack("<I", pl.plane_id))
                 f.write(struct.pack(f"<{ndims}I", *pl.shape))
@@ -70,6 +90,14 @@ def write_events(path: str, events: Sequence[SparseEvent], ndims: int = 2) -> No
                 f.write(np.ascontiguousarray(pl.coords, np.int32).tobytes())
                 f.write(np.ascontiguousarray(pl.values, np.float32).tobytes())
                 f.write(np.ascontiguousarray(pl.labels, np.uint8).tobytes())
+                if version >= 2:
+                    if pl.weights is not None:
+                        assert len(pl.weights) == n
+                        f.write(struct.pack("<B", 1))
+                        f.write(np.ascontiguousarray(
+                            pl.weights, np.float32).tobytes())
+                    else:
+                        f.write(struct.pack("<B", 0))
         f.seek(index_pos)
         f.write(np.asarray(offsets, np.uint64).tobytes())
 
@@ -80,6 +108,8 @@ def read_header(path: str) -> Tuple[int, int, np.ndarray]:
         if f.read(4) != MAGIC:
             raise ValueError(f"{path}: not a USEF file")
         version, ndims, n = struct.unpack("<IIQ", f.read(16))
+        if version not in _READABLE:
+            raise ValueError(f"{path}: unsupported USEF version {version}")
         offsets = np.frombuffer(f.read(8 * n), np.uint64)
     return version, ndims, offsets
 
@@ -101,8 +131,15 @@ def read_events(path: str, indices: Sequence[int] | None = None) -> List[SparseE
                 coords = np.frombuffer(f.read(4 * n * ndims), np.int32).reshape(n, ndims)
                 values = np.frombuffer(f.read(4 * n), np.float32)
                 labels = np.frombuffer(f.read(n), np.uint8)
+                weights = None
+                if version >= 2:
+                    (has_w,) = struct.unpack("<B", f.read(1))
+                    if has_w:
+                        weights = np.frombuffer(
+                            f.read(4 * n), np.float32).copy()
                 planes.append(SparsePlane(plane_id, shape, coords.copy(),
-                                          values.copy(), labels.copy()))
+                                          values.copy(), labels.copy(),
+                                          weights))
             events.append(SparseEvent(planes))
     return events
 

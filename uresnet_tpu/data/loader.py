@@ -193,6 +193,12 @@ class BatchLoader:
         self._error: Optional[BaseException] = None
         self._stop = threading.Event()
         self._threads = []
+        # Stream generation, bumped by stop(): workers capture it at claim
+        # time and discard their batch (and exit) if a stop/rewind happened
+        # while they were building — a worker that outlives stop()'s bounded
+        # join can never insert a stale pre-rewind batch into the restarted
+        # stream (deterministic stop/start contract).
+        self._gen = 0
         # back-compat shim: tests/tools peek at `_q.qsize()` for the
         # decode-queue-depth metric
         self._q = _ReadyDepth(self)
@@ -218,13 +224,14 @@ class BatchLoader:
         return self._index[order[within]]
 
     def _claim(self):
-        """Atomically claim the next (ticket, start position) pair."""
+        """Atomically claim the next (ticket, start position, generation)."""
         with self._cond:
             ticket = self._next_ticket
             self._next_ticket += 1
             start = self._cursor
             self._cursor += self._events_per_batch
-        return ticket, start
+            gen = self._gen
+        return ticket, start, gen
 
     def _build_batch(self, start: int) -> Dict[str, np.ndarray]:
         idxs = [self._event_for_pos(p)
@@ -242,7 +249,8 @@ class BatchLoader:
         if self.cfg.transfer == "sparse":
             batch = sparse_batch(evs, planes=self.cfg.planes,
                                  max_points=self.cfg.max_points,
-                                 ndims=self.ndims)
+                                 ndims=self.ndims,
+                                 with_weights=self.cfg.weight_mode == "file")
         else:
             batch = densify_batch(
                 evs,
@@ -271,19 +279,22 @@ class BatchLoader:
 
     def _worker(self):
         while not self._stop.is_set():
-            ticket, start = self._claim()
+            ticket, start, gen = self._claim()
             try:
                 b = self._build_batch(start)
             except BaseException as e:  # surface in consumer
                 with self._cond:
-                    self._error = e
-                    self._cond.notify_all()
+                    if gen == self._gen:
+                        self._error = e
+                        self._cond.notify_all()
                 raise
             with self._cond:
                 # backpressure: never run more than `depth` tickets ahead
-                while (not self._stop.is_set()
+                while (gen == self._gen and not self._stop.is_set()
                        and ticket - self._next_consume >= self._depth):
                     self._cond.wait(0.1)
+                if gen != self._gen:
+                    return  # stale pre-stop ticket: discard, orphan exits
                 if self._stop.is_set():
                     return
                 self._ready[ticket] = b
@@ -324,16 +335,28 @@ class BatchLoader:
         # CONSUMED batch and drop claimed-but-undelivered tickets, so a
         # later start() resumes the exact deterministic stream (without
         # this, holes in the ticket sequence hang the consumer forever).
+        # The generation bump makes the rewind safe even if a worker
+        # outlived the bounded join above: its claim captured the old
+        # generation, so it discards its batch instead of colliding with
+        # the restarted stream's reissued ticket numbers.
         with self._cond:
+            self._gen += 1
             inflight = self._next_ticket - self._next_consume
             self._cursor -= inflight * self._events_per_batch
             self._ready.clear()
             self._next_ticket = 0
             self._next_consume = 0
+            self._error = None  # a pre-stop worker error dies with its gen
+            self._cond.notify_all()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
             yield self.next()
+
+    def num_events(self) -> int:
+        """Events visible to THIS host (after sharding) — same contract as
+        CxxBatchLoader.num_events / decoder.cpp urd_num_events."""
+        return len(self._index)
 
     @property
     def cursor(self) -> int:
@@ -371,9 +394,15 @@ def stack_batches(it: Iterator[dict], k: int) -> Iterator[dict]:
     """Group k consecutive host batches into one stacked batch (each array
     leaf gains a leading k dim) for the fused multi-step dispatch
     (Trainer.train_step_multi / cfg.train.steps_per_dispatch). The group's
-    'cursor' is the LAST batch's (the data position after all k steps)."""
+    'cursor' is the LAST batch's (the data position after all k steps).
+    A finite source iterator ends the stream cleanly at the last FULL group
+    (a partial trailing group is dropped — production loaders are infinite,
+    so this only affects bounded test fixtures)."""
     while True:
-        group = [next(it) for _ in range(k)]
+        try:
+            group = [next(it) for _ in range(k)]
+        except StopIteration:
+            return  # PEP 479: don't let the source's exhaustion escape
         cursor = group[-1].pop("cursor", 0)
         for g in group[:-1]:
             g.pop("cursor", None)

@@ -13,7 +13,12 @@ SURVEY.md §7 hard part #3):
   * 'class_balance' — per-pixel weight inversely proportional to the pixel
                       count of its class in the image, normalized to mean 1;
   * 'nonzero'       — background pixels get weight 1, charge pixels get
-                      1 + boost.
+                      1 + boost;
+  * 'file'          — the reference's file-driven weight product (SURVEY.md
+                      §2.1 larcv-IO row "data/label/weight"): per-point
+                      weights stored in the USEF v2 file (events.py) are
+                      scattered at the charge coordinates; pixels without a
+                      point take weight 1.0.
 """
 
 from __future__ import annotations
@@ -80,6 +85,10 @@ def make_weights(
         total = labels_img.size
         w = np.empty(labels_img.shape, np.float32)
         counts = np.bincount(labels_img.reshape(-1), minlength=num_class)
+        if len(counts) > num_class and counts[num_class:].any():
+            raise ValueError(
+                f"label value >= num_class ({num_class}) in event "
+                f"(corrupt file or wrong model.num_class)")
         # per-class weight = total / (num_class * count_c); mean over pixels ≈ 1
         for c in range(num_class):
             if counts[c]:
@@ -111,8 +120,17 @@ def densify_plane(
     idx = tuple(coords[:, d] for d in range(ndims))
     data[idx] = np.clip(vals * normalize_scale, 0.0, normalize_clip)
     labels[idx] = labs
-    weights = make_weights(labels, data, mode=weight_mode,
-                           num_class=num_class, nonzero_boost=nonzero_boost)
+    if weight_mode == "file":
+        if plane.weights is None:
+            raise ValueError(
+                "weight_mode='file' but the plane carries no stored weights "
+                "(USEF v1 file, or converted without --weight-producer)")
+        weights = np.ones(out_shape, np.float32)
+        weights[idx] = plane.weights[mask]
+    else:
+        weights = make_weights(labels, data, mode=weight_mode,
+                               num_class=num_class,
+                               nonzero_boost=nonzero_boost)
     return data, labels, weights
 
 
@@ -122,11 +140,14 @@ def sparse_batch(
     planes: Sequence[int],
     max_points: int,
     ndims: int = 2,
+    with_weights: bool = False,
 ) -> dict:
     """Padded sparse batch for on-device dense-ification
     (uresnet_tpu.data.device_pipeline): one row per event x plane with
     coords/values/labels padded to `max_points` (overflow points dropped,
-    rarest-first would require a policy — we keep the first P)."""
+    rarest-first would require a policy — we keep the first P).
+    ``with_weights`` adds the per-point file weights (USEF v2,
+    weight_mode='file') as a (B, P) float32 leaf."""
     B = len(events) * len(planes)
     # Narrow WIRE dtypes (lossless; the device pipeline upcasts): the sparse
     # batch is the host->device payload and the link is the e2e bottleneck
@@ -136,6 +157,7 @@ def sparse_batch(
     coords = np.zeros((B, max_points, ndims), np.int16)
     values = np.zeros((B, max_points), np.float32)
     labels = np.zeros((B, max_points), np.uint8)
+    weights = np.zeros((B, max_points), np.float32) if with_weights else None
     npoints = np.zeros((B,), np.int32)
     shape = np.zeros((B, ndims), np.int32)
     row = 0
@@ -150,14 +172,37 @@ def sparse_batch(
                 raise ValueError(
                     f"plane shape {tuple(pl.shape)} exceeds the int16 sparse "
                     f"wire format (detector extents must be < 32768)")
+            # Fail loudly on corrupt content BEFORE the unsafe narrowing
+            # casts below (int16 coords / uint8 labels would silently wrap)
+            # — mirrored bit-for-bit by the C++ producer (decoder.cpp).
+            if n:
+                c = pl.coords[:n]
+                if (c < 0).any() or (c >= np.asarray(pl.shape)[None, :]).any():
+                    raise ValueError(
+                        f"coordinate outside the declared plane shape "
+                        f"{tuple(pl.shape)} (corrupt file)")
+                if int(np.max(pl.labels[:n], initial=0)) >= 256:
+                    raise ValueError(
+                        "label value >= 256 exceeds the uint8 sparse wire "
+                        "format (corrupt file)")
             coords[row, :n] = pl.coords[:n]
             values[row, :n] = pl.values[:n]
             labels[row, :n] = pl.labels[:n]
+            if with_weights:
+                if pl.weights is None:
+                    raise ValueError(
+                        "weight_mode='file' but the plane carries no stored "
+                        "weights (USEF v1 file, or converted without "
+                        "--weight-producer)")
+                weights[row, :n] = pl.weights[:n]
             npoints[row] = n
             shape[row] = pl.shape
             row += 1
-    return {"coords": coords, "values": values, "labels": labels,
-            "npoints": npoints, "shape": shape}
+    out = {"coords": coords, "values": values, "labels": labels,
+           "npoints": npoints, "shape": shape}
+    if with_weights:
+        out["weights"] = weights
+    return out
 
 
 def densify_batch(

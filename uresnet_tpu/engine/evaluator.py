@@ -29,6 +29,101 @@ def score_plane_id(plane_id: int, cls: int, num_class: int) -> int:
     return plane_id * num_class + cls
 
 
+def _make_ana_step(trainer: Trainer):
+    """Jitted ana step: (sparse or dense) batch -> densified data/label +
+    softmax scores in ONE dispatch — the streamed inference path reuses the
+    training data plane (device densify + prefetch) instead of serial host
+    densification (round-2 review: the ana path re-serialized everything
+    the data plane solved)."""
+    from uresnet_tpu.models.uresnet import uresnet_apply
+
+    def step(ts: TrainState, batch):
+        if "coords" in batch:
+            from uresnet_tpu.data.device_pipeline import densify_on_device
+
+            d = trainer.cfg.data
+            dense = densify_on_device(
+                batch, image_size=d.image_size,
+                num_class=trainer.cfg.model.num_class,
+                normalize_scale=d.normalize_scale,
+                normalize_clip=d.normalize_clip, weight_mode="ones")
+        else:
+            dense = batch
+        logits, _ = uresnet_apply(ts.params, ts.model_state, dense["data"],
+                                  cfg=trainer.cfg.model, train=False)
+        return {"data": dense["data"], "label": dense["label"],
+                "scores": jax.nn.softmax(logits, axis=-1)}
+
+    return jax.jit(step, in_shardings=(trainer._rep, None),
+                   out_shardings=trainer._bsh_data_only)
+
+
+def _produce_host(trainer, ts, input_file, n, bs_events):
+    """Legacy synchronous producer: host densify + trainer.forward."""
+    cfg = trainer.cfg
+    planes = tuple(cfg.data.planes)
+    for start in range(0, n, bs_events):
+        idxs = list(range(start, min(start + bs_events, n)))
+        events = ev.read_events(input_file, idxs)
+        # pad the trailing batch so the jitted forward sees a static shape
+        pad = bs_events - len(events)
+        batch = densify_batch(
+            events + [events[-1]] * pad,
+            image_size=cfg.data.image_size,
+            planes=planes,
+            normalize_scale=cfg.data.normalize_scale,
+            normalize_clip=cfg.data.normalize_clip,
+            weight_mode="ones",
+            num_class=cfg.model.num_class,
+        )
+        scores = np.asarray(trainer.forward(ts, batch["data"]))
+        yield idxs, events, batch["data"], batch["label"], scores
+
+
+def _produce_streamed(trainer, ts, input_file, n, bs_events):
+    """Streamed producer: threaded loader (C++ decoder when built) ->
+    sparse transfer -> device densify fused with the forward -> one-deep
+    readback pipeline, so decode/transfer/compute overlap while the export
+    of batch k-1 runs on the host."""
+    import dataclasses
+
+    from uresnet_tpu.data.loader import device_prefetch, make_batch_loader
+
+    cfg = trainer.cfg
+    dcfg = dataclasses.replace(
+        cfg.data, input_files=(input_file,), synthetic=False,
+        random_access=False, weight_mode="ones",
+        batch_size=bs_events * len(cfg.data.planes))
+    loader = make_batch_loader(dcfg, num_class=cfg.model.num_class,
+                               train=False, ndims=cfg.model.dims)
+    loader.start()
+    step = _make_ana_step(trainer)
+    n_batches = -(-n // bs_events)
+    try:
+        it = device_prefetch(iter(loader), sharding=trainer._leaf_sharding,
+                             depth=cfg.data.prefetch_depth)
+        pending = None
+        for k in range(n_batches):
+            batch = next(it)
+            batch.pop("cursor", None)
+            out = step(ts, batch)              # async dispatch
+            idxs = list(range(k * bs_events, min((k + 1) * bs_events, n)))
+            events = ev.read_events(input_file, idxs)
+            if pending is not None:
+                p_idxs, p_events, p_out = pending
+                p = jax.device_get(p_out)
+                yield (p_idxs, p_events, p["data"], p["label"], p["scores"])
+            pending = (idxs, events, out)
+        if pending is not None:
+            p_idxs, p_events, p_out = pending
+            p = jax.device_get(p_out)
+            yield (p_idxs, p_events, p["data"], p["label"], p["scores"])
+    finally:
+        loader.stop()
+        if hasattr(loader, "close"):
+            loader.close()
+
+
 def run_inference(
     trainer: Trainer,
     ts: TrainState,
@@ -37,6 +132,7 @@ def run_inference(
     *,
     batch_events: Optional[int] = None,
     fmt: str = "npz",
+    streamed: bool = True,
 ) -> Dict[str, float]:
     """Sequential pass over `input_file`; writes per-pixel score export.
 
@@ -50,6 +146,12 @@ def run_inference(
     event; each input plane `p` emits `num_class` score planes with
     plane_id = p * num_class + cls (`score_plane_id`), coords in ORIGINAL
     detector space, values = softmax scores, labels = predicted class.
+
+    ``streamed=True`` (default) drives the pass through the training data
+    plane — threaded decode, sparse transfer, in-jit densify fused with the
+    forward, one-deep readback pipeline; ``streamed=False`` is the legacy
+    synchronous host-densify path (kept as the equality oracle,
+    tests/test_inference.py). Exports are identical either way.
     """
     if fmt not in ("npz", "usef"):
         raise ValueError(f"unknown score export format {fmt!r}")
@@ -64,22 +166,19 @@ def run_inference(
     usef_events = []
     n_correct_nonzero = 0
     n_nonzero = 0
+    # dataset-global (pred, true) confusion over ALL pixels of the real
+    # rows -> exact single-pass mIoU (the parity-gate metric), same
+    # aggregation as evaluate_dataset's exact mode
+    conf = np.zeros((num_class, num_class), np.float64)
+    n_pix_total = 0
 
-    for start in range(0, n, bs_events):
-        idxs = list(range(start, min(start + bs_events, n)))
-        events = ev.read_events(input_file, idxs)
-        # pad the trailing batch so the jitted forward sees a static shape
-        pad = bs_events - len(events)
-        batch = densify_batch(
-            events + [events[-1]] * pad,
-            image_size=cfg.data.image_size,
-            planes=planes,
-            normalize_scale=cfg.data.normalize_scale,
-            normalize_clip=cfg.data.normalize_clip,
-            weight_mode="ones",
-            num_class=num_class,
-        )
-        scores = np.asarray(trainer.forward(ts, batch["data"]))
+    producer = (_produce_streamed(trainer, ts, input_file, n, bs_events)
+                if streamed else
+                _produce_host(trainer, ts, input_file, n, bs_events))
+    for idxs, events, data_b, label_b, scores in producer:
+        scores = np.asarray(scores)
+        data_b = np.asarray(data_b)
+        label_b = np.asarray(label_b)
         pred = scores.argmax(-1)
         rows_per_event = len(planes)
         for bi, (eidx, evt) in enumerate(zip(idxs, events)):
@@ -87,8 +186,8 @@ def run_inference(
             score_planes = []
             for pi, pid in enumerate(planes):
                 row = bi * rows_per_event + pi
-                data_img = batch["data"][row, ..., 0]
-                label_img = batch["label"][row]
+                data_img = data_b[row, ..., 0]
+                label_img = label_b[row]
                 mask = data_img > 0
                 coords = np.argwhere(mask)
                 out_event.append(np.full(len(coords), eidx, np.int32))
@@ -99,6 +198,12 @@ def run_inference(
                 out_label.append(label_img[mask].astype(np.int32))
                 n_correct_nonzero += int((pred[row][mask] == label_img[mask]).sum())
                 n_nonzero += int(mask.sum())
+                conf += np.bincount(
+                    (pred[row].astype(np.int64) * num_class
+                     + label_img.astype(np.int64)).ravel(),
+                    minlength=num_class * num_class,
+                ).reshape(num_class, num_class)
+                n_pix_total += label_img.size
                 if fmt == "usef":
                     # map scores back to ORIGINAL detector coordinates via
                     # the same crop window the model saw
@@ -120,12 +225,19 @@ def run_inference(
             if fmt == "usef":
                 usef_events.append(ev.SparseEvent(planes=score_planes))
 
+    from uresnet_tpu.engine.metrics import metrics_from_counts
+
+    metrics = metrics_from_counts({
+        "conf": conf, "n_pixels": float(n_pix_total),
+        "correct_nonzero": float(n_correct_nonzero),
+        "n_nonzero": float(n_nonzero)})
+    metrics.update(n_events=n, n_pixels=n_nonzero)
+
     if fmt == "usef":
         tmpu = output_file + ".tmp"
         ev.write_events(tmpu, usef_events, ndims=trainer.cfg.model.dims)
         os.replace(tmpu, output_file)
-        acc_nz = n_correct_nonzero / max(n_nonzero, 1)
-        return {"acc_nonzero": acc_nz, "n_events": n, "n_pixels": n_nonzero}
+        return metrics
 
     result = {
         "event_id": np.concatenate(out_event) if out_event else np.zeros(0, np.int32),
@@ -139,23 +251,123 @@ def run_inference(
     with open(tmp, "wb") as f:
         np.savez_compressed(f, **result)
     os.replace(tmp, output_file)
-    acc_nz = n_correct_nonzero / max(n_nonzero, 1)
-    return {"acc_nonzero": acc_nz, "n_events": n, "n_pixels": n_nonzero}
+    return metrics
+
+
+def _make_count_step(trainer: Trainer):
+    """Jitted exact-evaluation step: forward + SUM-form counts
+    (metrics.segmentation_counts) with the padded tail rows masked via the
+    'row_valid' batch leaf. Loss sums are masked the same way."""
+    import jax.numpy as jnp
+
+    from uresnet_tpu.engine.losses import softmax_xent_per_pixel
+    from uresnet_tpu.engine.metrics import segmentation_counts
+    from uresnet_tpu.models.uresnet import uresnet_apply
+
+    def step(ts: TrainState, batch):
+        row_valid = batch["row_valid"].astype(jnp.float32)
+        prep = trainer._prepare({k: v for k, v in batch.items()
+                                 if k != "row_valid"})
+        logits, _ = uresnet_apply(ts.params, ts.model_state, prep["data"],
+                                  cfg=trainer.cfg.model, train=False)
+        counts = segmentation_counts(
+            logits, prep["label"], prep["data"],
+            num_class=trainer.cfg.model.num_class, row_valid=row_valid)
+        xent = softmax_xent_per_pixel(logits, prep["label"])
+        vpix = row_valid.reshape((-1,) + (1,) * (xent.ndim - 1))
+        w = prep["weight"].astype(jnp.float32) * vpix
+        counts["loss_num"] = jnp.sum(w * xent)
+        counts["weight_sum"] = jnp.sum(w)
+        return counts
+
+    return jax.jit(step, in_shardings=(trainer._rep, None),
+                   out_shardings=trainer._rep)
 
 
 def evaluate_dataset(
     trainer: Trainer,
     ts: TrainState,
     *,
-    num_batches: int = 16,
+    num_batches: Optional[int] = None,
 ) -> Dict[str, float]:
-    """Held-out metric evaluation (mIoU parity gate, BASELINE.md)."""
+    """Held-out metric evaluation (mIoU parity gate, BASELINE north_star).
+
+    ``num_batches=None`` (default, the gate mode): EXACTLY-ONCE full pass —
+    the batch count is derived from the dataset's event count, the loader
+    streams sequentially (train=False -> no shuffle), and the wrapped tail
+    rows of the final batch are masked out, so every held-out event
+    contributes exactly once. Metrics come from dataset-global confusion
+    sums (`metrics_from_counts`) — the well-defined held-out mIoU the
+    reference's single-pass ana loop produces (SURVEY.md §3.2), not a mean
+    of per-batch IoUs.
+
+    ``num_batches=k``: legacy sampled mode (k batches off the cycling
+    loader, per-batch metric means) for quick in-training spot checks.
+    """
     loader = trainer.make_loader(train=False)
-    agg: Dict[str, float] = {}
-    for _ in range(num_batches):
-        batch = loader.next()
-        batch.pop("cursor", None)
-        m = jax.device_get(trainer.eval_step(ts, trainer._device_batch(batch)))
-        for k, v in m.items():
-            agg[k] = agg.get(k, 0.0) + float(v) / num_batches
-    return agg
+    if num_batches is not None:
+        agg: Dict[str, float] = {}
+        try:
+            for _ in range(num_batches):
+                batch = loader.next()
+                batch.pop("cursor", None)
+                m = jax.device_get(
+                    trainer.eval_step(ts, trainer._device_batch(batch)))
+                for k, v in m.items():
+                    agg[k] = agg.get(k, 0.0) + float(v) / num_batches
+        finally:
+            loader.stop()
+            if hasattr(loader, "close"):
+                loader.close()
+        return agg
+
+    from uresnet_tpu.engine.metrics import metrics_from_counts
+
+    cfgd = trainer.cfg.data
+    n_planes = len(cfgd.planes)
+    shard_count = max(jax.process_count(), 1)
+    rank = jax.process_index()
+    epb_local = max(1, cfgd.batch_size // n_planes // shard_count)
+    # Host-independent totals (the loader shards round-robin): every host
+    # must run the SAME number of jitted steps under SPMD even when its
+    # shard is one event short — shorter shards just mask more rows.
+    n_total = sum(ev.num_events(f) for f in loader._files)
+    n_local = n_total // shard_count + (1 if rank < n_total % shard_count
+                                        else 0)
+    n_max_local = -(-n_total // shard_count)
+    n_batches = max(1, -(-n_max_local // epb_local))
+
+    step = _make_count_step(trainer)
+    loader.start()
+    agg_counts: Dict[str, np.ndarray] = {}
+    try:
+        for k in range(n_batches):
+            batch = loader.next()
+            batch.pop("cursor", None)
+            valid_events = min(max(n_local - k * epb_local, 0), epb_local)
+            row_valid = (np.arange(epb_local * n_planes) // n_planes
+                         < valid_events).astype(np.float32)
+            batch["row_valid"] = row_valid
+            counts = jax.device_get(
+                step(ts, trainer._device_batch(batch)))
+            for key, v in counts.items():
+                v = np.asarray(v, np.float64)
+                agg_counts[key] = agg_counts.get(key, 0.0) + v
+    finally:
+        loader.stop()
+        if hasattr(loader, "close"):
+            loader.close()
+
+    out = metrics_from_counts(agg_counts)
+    # model-free exactness witnesses: any double-counted / unmasked row
+    # shows up here even when near-tie argmax flips hide it in the metrics
+    out["n_pixels"] = float(agg_counts["n_pixels"])
+    out["n_nonzero"] = float(agg_counts["n_nonzero"])
+    if trainer.cfg.train.loss_normalize == "weight_sum":
+        out["loss"] = float(agg_counts["loss_num"]
+                            / max(agg_counts["weight_sum"], 1e-6))
+    else:  # 'mean' over the valid pixels
+        out["loss"] = float(agg_counts["loss_num"]
+                            / max(agg_counts["n_pixels"], 1.0))
+    out["n_events"] = float(n_total)
+    return out

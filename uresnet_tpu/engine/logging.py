@@ -53,3 +53,15 @@ class MetricsLogger:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullLogger:
+    """No-op logger for non-leader processes under multi-host SPMD: every
+    host computes the same replicated metrics, so only process 0 writes
+    (shared log/checkpoint paths would otherwise interleave corruptly)."""
+
+    def log(self, step: int, metrics: Dict[str, float]):
+        pass
+
+    def close(self):
+        pass

@@ -13,13 +13,13 @@ import jax
 import jax.numpy as jnp
 
 
-def weighted_softmax_xent(
+def softmax_xent_per_pixel(
     logits: jax.Array,      # (B, *S, C) float
     labels: jax.Array,      # (B, *S) int
-    weights: jax.Array,     # (B, *S) float
-    *,
-    normalize: str = "mean",
 ) -> jax.Array:
+    """Unreduced per-pixel cross-entropy (f32). Shared by the training loss
+    and the exactly-once dataset evaluator (engine/evaluator.py), which
+    needs to mask padded tail rows before reducing."""
     logits = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     # one-hot multiply-sum, NOT take_along_axis: the gather lowers to a
@@ -30,7 +30,17 @@ def weighted_softmax_xent(
     one_hot = jax.nn.one_hot(labels.astype(jnp.int32), num_class,
                              dtype=logits.dtype)
     true_logit = jnp.sum(logits * one_hot, axis=-1)
-    xent = logz - true_logit
+    return logz - true_logit
+
+
+def weighted_softmax_xent(
+    logits: jax.Array,      # (B, *S, C) float
+    labels: jax.Array,      # (B, *S) int
+    weights: jax.Array,     # (B, *S) float
+    *,
+    normalize: str = "mean",
+) -> jax.Array:
+    xent = softmax_xent_per_pixel(logits, labels)
     w = weights.astype(jnp.float32)
     if normalize == "mean":
         return jnp.mean(w * xent)

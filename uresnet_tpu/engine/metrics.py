@@ -10,10 +10,11 @@ with batch-sharded inputs the sums are global automatically.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def segmentation_metrics(
@@ -50,4 +51,66 @@ def segmentation_metrics(
     }
     for c in range(num_class):
         out[f"iou_class{c}"] = iou[c]
+    return out
+
+
+def segmentation_counts(
+    logits: jax.Array,   # (B, *S, C)
+    labels: jax.Array,   # (B, *S) int
+    data: jax.Array,     # (B, *S, C_in)
+    *,
+    num_class: int,
+    row_valid: jax.Array = None,   # (B,) 1.0 = real row, 0.0 = padded tail
+) -> Dict[str, jax.Array]:
+    """SUM-form counterpart of `segmentation_metrics` for exact dataset
+    evaluation (the mIoU parity gate, BASELINE north_star): returns raw
+    counts — a (pred, true) confusion matrix plus nonzero-pixel counts —
+    that aggregate across batches before `metrics_from_counts` computes the
+    metrics ONCE over the whole dataset. Per-batch IoU means are not a
+    well-defined dataset mIoU; confusion sums are. ``row_valid`` masks the
+    wrapped/padded rows of the final batch so every event counts exactly
+    once (SURVEY.md §3.2 sequential single-pass ana)."""
+    pred = jnp.argmax(logits, axis=-1)
+    labels = labels.astype(pred.dtype)
+    spatial = tuple(range(1, pred.ndim))
+    valid = (jnp.ones(pred.shape[0], jnp.float32) if row_valid is None
+             else row_valid.astype(jnp.float32))
+    vpix = valid.reshape((-1,) + (1,) * len(spatial))            # (B,1,..)
+    one_p = jax.nn.one_hot(pred, num_class, dtype=jnp.float32) * vpix[..., None]
+    one_t = jax.nn.one_hot(labels, num_class, dtype=jnp.float32)
+    # (pred, true) confusion sums — one-hot contraction, not gathers
+    conf = jnp.einsum("...c,...d->cd", one_p, one_t)
+    nonzero = (jnp.sum(jnp.abs(data), axis=-1) > 0).astype(jnp.float32) * vpix
+    correct = (pred == labels).astype(jnp.float32)
+    pix_per_row = 1
+    for s in pred.shape[1:]:
+        pix_per_row *= int(s)
+    return {
+        "conf": conf,                                             # (C, C)
+        "n_pixels": jnp.sum(valid) * float(pix_per_row),
+        "correct_nonzero": jnp.sum(correct * nonzero),
+        "n_nonzero": jnp.sum(nonzero),
+    }
+
+
+def metrics_from_counts(counts: Dict[str, Any]) -> Dict[str, float]:
+    """Final metrics from aggregated `segmentation_counts` sums (host side,
+    numpy). Same IoU semantics as `segmentation_metrics` (empty union ->
+    1.0)."""
+    conf = np.asarray(counts["conf"], np.float64)
+    num_class = conf.shape[0]
+    n_pix = float(counts["n_pixels"])
+    out = {
+        "acc_all": float(np.trace(conf) / max(n_pix, 1.0)),
+        "acc_nonzero": float(counts["correct_nonzero"]
+                             / max(float(counts["n_nonzero"]), 1.0)),
+    }
+    ious = []
+    for c in range(num_class):
+        inter = conf[c, c]
+        union = conf[c, :].sum() + conf[:, c].sum() - inter
+        iou = inter / union if union > 0 else 1.0
+        ious.append(iou)
+        out[f"iou_class{c}"] = float(iou)
+    out["miou"] = float(np.mean(ious))
     return out

@@ -66,6 +66,11 @@ class Trainer:
                 f"by the mesh data-axis size ({n_data}); raise the batch "
                 f"size or set parallel.data to a divisor (e.g. "
                 f"parallel.data=1 for single-device runs)")
+        if cfg.model.kernel_backend not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"model.kernel_backend must be 'auto', 'xla' or 'pallas', "
+                f"got {cfg.model.kernel_backend!r} (consumed by the folded "
+                f"inference forward, models/fold.py)")
         if (cfg.model.dims == 3 and not cfg.model.pack
                 and jax.devices()[0].platform == "tpu"):
             import sys
@@ -439,8 +444,18 @@ class Trainer:
         loader = self.make_loader(train=True, start_event=cursor)
         loader.start()
         self.loader = loader
-        logger = MetricsLogger(cfg.train.log_dir, name="train", echo=log)
-        val_logger = MetricsLogger(cfg.train.log_dir, name="val", echo=log)
+        # Multi-host SPMD: metrics/checkpoints are replicated, so only the
+        # leader writes — per-host writes to shared paths would interleave
+        # (SURVEY.md §2.4 multi-host).
+        main_process = jax.process_index() == 0
+        if main_process:
+            logger = MetricsLogger(cfg.train.log_dir, name="train", echo=log)
+            val_logger = MetricsLogger(cfg.train.log_dir, name="val", echo=log)
+        else:
+            from uresnet_tpu.engine.logging import NullLogger
+
+            logger = NullLogger()
+            val_logger = NullLogger()
         last: Dict[str, float] = {}
         K = max(1, int(cfg.train.steps_per_dispatch))
         if K > 1:
@@ -492,10 +507,22 @@ class Trainer:
                     vm = self.validate(ts, num_batches=cfg.train.val_batches)
                     val_logger.log(step, vm)
                 if cfg.train.checkpoint_iter and step % cfg.train.checkpoint_iter == 0:
-                    self.save(ts, step, cursor_now)
-            self.save(ts, start_step + iters, cursor_now)
+                    if main_process:
+                        self.save(ts, step, cursor_now)
+            if main_process:
+                self.save(ts, start_step + iters, cursor_now)
         finally:
+            # release BOTH loaders: worker threads and (for the C++ decoder)
+            # the native handle must not leak per fit() call
             loader.stop()
+            if hasattr(loader, "close"):
+                loader.close()
+            self.loader = None
+            if self.val_loader is not None:
+                self.val_loader.stop()
+                if hasattr(self.val_loader, "close"):
+                    self.val_loader.close()
+                self.val_loader = None
             logger.close()
             val_logger.close()
         return ts, last

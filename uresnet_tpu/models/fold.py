@@ -68,14 +68,45 @@ def uresnet_apply_folded(folded: Dict[str, Any], x: jax.Array, *,
 
     Mirrors uresnet_apply(train=False) exactly (tests/test_fold.py pins the
     equivalence in f32).
+
+    ``cfg.kernel_backend`` selects the conv implementation for eligible
+    units (2D, 3x3, stride 1, 128-lane-aligned channels): 'xla'/'auto' use
+    lax convs (the measured winner at 128 lanes — 93-104 TF/s vs the Pallas
+    kernel's 79-82, benchmarks/RESULTS.md round 2; hence 'auto' == 'xla'),
+    'pallas' uses ops/pallas/conv2d.fused_conv3x3_bn_relu_v2 for A/B runs.
     """
     from uresnet_tpu.ops.conv import conv, conv_transpose
     from uresnet_tpu.utils.dtypes import canonical_dtype
 
+    if cfg.kernel_backend not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"model.kernel_backend must be 'auto', 'xla' or 'pallas', "
+            f"got {cfg.kernel_backend!r}")
+    use_pallas = cfg.kernel_backend == "pallas"
+    # interpret mode off-TPU so the A/B path stays testable on the CPU mesh
+    interpret = jax.devices()[0].platform != "tpu"
     cd = canonical_dtype(cfg.compute_dtype)
     relu = jax.nn.relu
 
+    def pallas_eligible(p, h, stride, transpose):
+        w = p["w"]
+        return (use_pallas and cfg.dims == 2 and not transpose
+                and stride == 1 and w.shape[:2] == (3, 3)
+                and h.shape[-1] % 128 == 0 and w.shape[-1] % 128 == 0
+                and h.shape[1] % 8 == 0)
+
+    def fused(p, h, residual=None, do_relu=True):
+        from uresnet_tpu.ops.pallas.conv2d import fused_conv3x3_bn_relu_v2
+
+        w = p["w"].astype(cd)
+        ones = jnp.ones((w.shape[-1],), jnp.float32)
+        return fused_conv3x3_bn_relu_v2(
+            h.astype(cd), w, ones, p["b"].astype(jnp.float32),
+            residual, relu=do_relu, interpret=interpret)
+
     def cbr(p, h, stride=1, transpose=False):
+        if pallas_eligible(p, h, stride, transpose):
+            return fused(p, h)
         if transpose:
             h = conv_transpose(h, p, stride=stride, dims=cfg.dims,
                                compute_dtype=cd)
@@ -85,9 +116,12 @@ def uresnet_apply_folded(folded: Dict[str, Any], x: jax.Array, *,
 
     def block(p, h):
         y = cbr(p["cb1"], h)
-        y = conv(y, p["cb2"], dims=cfg.dims, compute_dtype=cd)
         sc = h if "proj" not in p else conv(h, p["proj"], dims=cfg.dims,
                                             compute_dtype=cd)
+        if pallas_eligible(p["cb2"], y, 1, False):
+            # conv + bias + residual-add + ReLU in ONE fused pass
+            return fused(p["cb2"], y, residual=sc.astype(cd))
+        y = conv(y, p["cb2"], dims=cfg.dims, compute_dtype=cd)
         return relu(y + sc.astype(y.dtype))
 
     h = cbr(folded["stem"], x)

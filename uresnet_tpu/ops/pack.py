@@ -41,7 +41,8 @@ R = 2  # pack factor per spatial dim
 _MAP_CACHE: Dict[Tuple, Tuple[np.ndarray, np.ndarray]] = {}
 
 
-def space_to_depth(x: jax.Array, r: int = R, dims: int = 2) -> jax.Array:
+def space_to_depth(x: jax.Array, r: int = R, dims: int = 2, *,
+                   _force_path: str | None = None) -> jax.Array:
     """(B, *S, C) -> (B, *S/r, r^dims * C); channel order phase-major
     (p_0, ..., p_{dims-1}, c).
 
@@ -52,11 +53,17 @@ def space_to_depth(x: jax.Array, r: int = R, dims: int = 2) -> jax.Array:
     the outer dims (~870 GB/s vs ~75 GB/s for the naive all-dims
     transpose) — but the reshape itself relayouts the (minor-dim) tiling,
     which only beats the transpose when the merged minor dim r*C fills the
-    128 lanes. Hence: reshape path iff r*C >= 128."""
+    128 lanes. Hence: reshape path iff r*C >= 128.
+
+    ``_force_path`` ('reshape'|'transpose') overrides the lane heuristic —
+    test hook only, so CI pins both branches bit-identical at triggering
+    channel counts (tests/test_pack.py)."""
     B = x.shape[0]
     S = x.shape[1:1 + dims]
     C = x.shape[-1]
-    if r * C >= 128:
+    use_reshape = (r * C >= 128 if _force_path is None
+                   else _force_path == "reshape")
+    if use_reshape:
         # innermost dim: free-ish reshape; outer dims: row transposes,
         # innermost-first so the final order is phase-major (p_0,...,c)
         x = x.reshape(x.shape[:-2] + (x.shape[-2] // r, r * C))
@@ -82,14 +89,18 @@ def space_to_depth(x: jax.Array, r: int = R, dims: int = 2) -> jax.Array:
     return x.reshape(out_shape)
 
 
-def depth_to_space(x: jax.Array, r: int = R, dims: int = 2) -> jax.Array:
+def depth_to_space(x: jax.Array, r: int = R, dims: int = 2, *,
+                   _force_path: str | None = None) -> jax.Array:
     """Inverse of space_to_depth (same hybrid implementation choice: the
     reshape path wins iff the still-merged minor dim stays >= 128 lanes,
-    i.e. packed channels >= 128 * r^(dims-1))."""
+    i.e. packed channels >= 128 * r^(dims-1)). ``_force_path`` as in
+    space_to_depth (test hook)."""
     B = x.shape[0]
     Sp = x.shape[1:1 + dims]
     C = x.shape[-1] // (r ** dims)
-    if x.shape[-1] // (r ** (dims - 1)) >= 128:
+    use_reshape = (x.shape[-1] // (r ** (dims - 1)) >= 128
+                   if _force_path is None else _force_path == "reshape")
+    if use_reshape:
         for ax in range(1, dims):
             s = x.shape
             Cc = s[-1] // r
