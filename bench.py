@@ -42,6 +42,9 @@ def main():
                    help="remat mode: false|level|block (default: block "
                         "for 3D, off for 2D)")
     p.add_argument("--base-filters", type=int, default=16)
+    p.add_argument("--pack-threshold", type=int, default=None,
+                   help="pack levels with channels < threshold (default "
+                        "64; 128 also packs the 64-ch level — 3D lever)")
     p.add_argument("--dims", type=int, default=2, choices=(2, 3),
                    help="3 = 3D U-ResNet on volumes (BASELINE config 4)")
     p.add_argument("--infer", action="store_true",
@@ -69,7 +72,11 @@ def main():
         depth = 5
     steps = args.steps if not args.quick else min(args.steps, 5)
 
-    remat = ("block" if args.dims == 3 else False) if args.remat is None \
+    # 3D default remat matches the measured optimum (benchmarks/RESULTS.md
+    # round 3): batch 1 fits WITHOUT remat (+33% vol/s); batch >= 2 needs
+    # block remat to fit HBM.
+    remat = (("block" if batch >= 2 else False) if args.dims == 3
+             else False) if args.remat is None \
         else ({"false": False, "true": True}.get(args.remat.lower(),
                                                  args.remat))
     cfg = Config(
@@ -79,6 +86,8 @@ def main():
                           compute_dtype="bfloat16" if on_tpu else "float32",
                           pack=not args.no_pack,
                           pack_extra_h=not args.no_pack_extra_h,
+                          **({"pack_threshold": args.pack_threshold}
+                             if args.pack_threshold is not None else {}),
                           remat=remat),
         data=DataConfig(image_size=size, batch_size=batch, planes=(0,)),
         optim=OptimConfig(lr=1e-3),

@@ -1,0 +1,76 @@
+"""End-to-end inference/ana throughput (SURVEY.md §3.2; VERDICT r2 weak #3).
+
+Times the FULL production ana pass — C++/Python threaded decode -> sparse
+transfer -> in-jit densify fused with the forward -> device point-gather
+score readback (export='sparse') -> host export + npz/usef write — over a
+synthetic 512² file, and contrasts it with the dense-readback and legacy
+host-densify paths.
+
+Run on the TPU:  python benchmarks/ana_e2e.py [--events 512] [--batch 32]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--events", type=int, default=512)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--fmt", default="npz", choices=("npz", "usef"))
+    p.add_argument("--modes", nargs="*",
+                   default=["sparse", "dense", "host"],
+                   help="subset of {sparse, dense, host} to run")
+    args = p.parse_args()
+
+    from uresnet_tpu.config import Config, DataConfig, ModelConfig
+    from uresnet_tpu.data.synthetic import generate_file
+    from uresnet_tpu.engine.evaluator import run_inference
+    from uresnet_tpu.engine.trainer import Trainer
+    from uresnet_tpu.parallel.mesh import make_mesh
+
+    path = os.path.join("/tmp", f"ana_e2e_{args.events}_{args.size}.usef")
+    if not os.path.exists(path):
+        generate_file(path, args.events, seed=7,
+                      shape=(max(args.size, 256),) * 2, planes=(0,))
+
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cfg = Config(
+        model=ModelConfig(base_filters=16, depth=5,
+                          compute_dtype="bfloat16" if on_tpu else "float32",
+                          pack=on_tpu, pack_extra_h=on_tpu),
+        data=DataConfig(image_size=args.size, batch_size=args.batch,
+                        planes=(0,), input_files=(path,), synthetic=False,
+                        random_access=False))
+    tr = Trainer(cfg, mesh=make_mesh())
+    ts = tr.init_state()
+
+    runs = {
+        "sparse": dict(streamed=True, export="sparse"),
+        "dense": dict(streamed=True, export="dense"),
+        "host": dict(streamed=False, export="dense"),
+    }
+    for name in args.modes:
+        kw = runs[name]
+        out = f"/tmp/ana_e2e_{name}.{args.fmt}"
+        # warm the compile out of the measurement: one tiny pass
+        run_inference(tr, ts, path, out + ".warm", fmt=args.fmt,
+                      batch_events=args.batch, **kw)
+        t0 = time.perf_counter()
+        m = run_inference(tr, ts, path, out, fmt=args.fmt,
+                          batch_events=args.batch, **kw)
+        dt = time.perf_counter() - t0
+        print(f"{name:7s} {args.events / dt:7.1f} img/s e2e "
+              f"({dt:.2f} s, {m['n_pixels']} px exported, "
+              f"miou {m['miou']:.4f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

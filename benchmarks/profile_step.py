@@ -37,6 +37,9 @@ def main():
     p.add_argument("--no-pack-extra-h", action="store_true",
                    help="profile without the resident H-pack (flagship "
                         "default is ON, matching bench.py)")
+    p.add_argument("--with-metrics", action="store_true",
+                   help="profile the summary step (argmax/IoU passes) "
+                        "instead of the production hot-loop light step")
     args = p.parse_args()
 
     from uresnet_tpu.config import Config, DataConfig, ModelConfig
@@ -72,12 +75,13 @@ def main():
         "data": rng.random((B,) + sp + (1,), np.float32).astype(np.float32),
         "label": rng.integers(0, 3, (B,) + sp).astype(np.int32),
         "weight": np.ones((B,) + sp, np.float32)})
-    ts, m = tr.train_step(ts, batch)
+    step_fn = tr.train_step if args.with_metrics else tr.train_step_light
+    ts, m = step_fn(ts, batch)
     float(m["loss"])  # compile + sync
 
     jax.profiler.start_trace(args.outdir)
     for _ in range(args.steps):
-        ts, m = tr.train_step(ts, batch)
+        ts, m = step_fn(ts, batch)
     float(m["loss"])
     jax.profiler.stop_trace()
 
@@ -89,14 +93,29 @@ def main():
     pids = {e["pid"]: e["args"].get("name", "")
             for e in events
             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    # HLO-level events live on the "XLA Ops" thread; "XLA Modules" holds the
+    # jit envelope and "Steps" the per-step markers — exclude both or the
+    # rollup double-counts the whole step.
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["args"].get("name") == "XLA Ops"
+               and "TPU" in pids.get(e.get("pid"), "")}
     tot, cnt = collections.Counter(), collections.Counter()
+    cat = collections.Counter()
     for e in events:
-        if e.get("ph") == "X" and "dur" in e:
-            if "TPU" in pids.get(e.get("pid"), ""):
-                name = e.get("name", "?")
-                tot[name] += e["dur"]
-                cnt[name] += 1
-    print(f"top {args.top} device ops over {args.steps} steps:")
+        if (e.get("ph") == "X" and "dur" in e
+                and (e.get("pid"), e.get("tid")) in op_tids):
+            name = e.get("name", "?")
+            tot[name] += e["dur"]
+            cnt[name] += 1
+            cat[re.sub(r"[.\d]+$", "", name)] += e["dur"]
+    step_ms = sum(tot.values()) / 1e3 / args.steps
+    print(f"device-busy: {step_ms:.1f} ms/step (XLA Ops total)")
+    print("-- by op category (name prefix):")
+    for name, dur in cat.most_common(15):
+        ms = dur / 1e3 / args.steps
+        print(f"{ms:9.2f} ms/step {100 * ms / step_ms:5.1f}%  {name}")
+    print(f"-- top {args.top} individual ops:")
     for name, dur in tot.most_common(args.top):
         print(f"{dur/1e3/args.steps:9.2f} ms/step {cnt[name]//args.steps:4d}x "
               f"{name[:70]}")

@@ -223,7 +223,7 @@ def test_streamed_inference_matches_host_path(setup):
     m_host = run_inference(trainer, ts, path, str(tmp / "host.npz"),
                            streamed=False)
     m_str = run_inference(trainer, ts, path, str(tmp / "streamed.npz"),
-                          streamed=True)
+                          streamed=True, export="dense")
     assert m_host["n_events"] == m_str["n_events"]
     assert m_host["n_pixels"] == m_str["n_pixels"]
     zh = np.load(str(tmp / "host.npz"))
@@ -246,3 +246,64 @@ def test_streamed_inference_usef_writeback(setup):
     with open(str(tmp / "s.usef"), "rb") as f:
         sb = f.read()
     assert hb == sb  # byte-identical reference-style writeback
+
+
+def test_sparse_export_matches_dense(setup):
+    """export='sparse' (device point-gather + on-device confusion counts,
+    ~60x less readback) must produce the same npz/usef exports as the dense
+    host path."""
+    trainer, ts, path, tmp = setup
+    m_host = run_inference(trainer, ts, path, str(tmp / "eh.npz"),
+                           streamed=False, export="dense")
+    m_sp = run_inference(trainer, ts, path, str(tmp / "es.npz"),
+                         streamed=True, export="sparse")
+    assert m_host["n_events"] == m_sp["n_events"]
+    assert m_host["n_pixels"] == m_sp["n_pixels"]
+    zh = np.load(str(tmp / "eh.npz"))
+    zs = np.load(str(tmp / "es.npz"))
+    for k in zh.files:
+        np.testing.assert_array_equal(zh[k], zs[k], err_msg=k)
+    for k in ("acc_all", "acc_nonzero", "miou", "iou_class0", "iou_class1",
+              "iou_class2"):
+        assert abs(m_host[k] - m_sp[k]) < 5e-3, (k, m_host[k], m_sp[k])
+
+    run_inference(trainer, ts, path, str(tmp / "eh.usef"), fmt="usef",
+                  streamed=False, export="dense")
+    run_inference(trainer, ts, path, str(tmp / "es.usef"), fmt="usef",
+                  streamed=True, export="sparse")
+    with open(str(tmp / "eh.usef"), "rb") as f:
+        hb = f.read()
+    with open(str(tmp / "es.usef"), "rb") as f:
+        sb = f.read()
+    assert hb == sb
+
+
+def test_scores_at_points_matches_dense_indexing():
+    """Device point-gather == indexing the dense score map at the scattered
+    coords (the crop math is shared with densify_on_device)."""
+    import jax
+
+    from uresnet_tpu.data.device_pipeline import (densify_on_device,
+                                                  scores_at_points)
+    from uresnet_tpu.data.pipeline import sparse_batch
+    from uresnet_tpu.data.synthetic import generate_event
+
+    rng = np.random.default_rng(5)
+    events = [generate_event(rng, shape=(128, 128), planes=(0,))
+              for _ in range(3)]
+    sp = sparse_batch(events, planes=(0,), max_points=2048)
+    T = 64
+    dense = densify_on_device(sp, image_size=T)
+    fake_scores = jax.numpy.asarray(
+        rng.standard_normal((3, T, T, 3)).astype(np.float32))
+    got = np.asarray(scores_at_points(sp, fake_scores, image_size=T))
+    from uresnet_tpu.data.pipeline import crop_or_pad_coords
+
+    fs = np.asarray(fake_scores)
+    for row, evt in enumerate(events):
+        pl = evt.planes[0]
+        shifted, inwin = crop_or_pad_coords(pl.coords, pl.shape, T,
+                                            values=pl.values)
+        npt = len(pl.values)
+        want = fs[row][tuple(shifted[inwin].T)]
+        np.testing.assert_array_equal(got[row, :npt][inwin], want)

@@ -29,6 +29,13 @@ def main(argv=None):
                         "score planes readable by data/events.py)")
     p.add_argument("--metrics-only", action="store_true",
                    help="evaluate metrics on the configured dataset instead")
+    p.add_argument("--export", default="auto",
+                   choices=("auto", "dense", "sparse"),
+                   help="score readback mode: 'sparse' gathers scores at "
+                        "the charge points ON DEVICE (~60x less "
+                        "device->host traffic — the production TPU mode); "
+                        "'dense' reads back full score volumes; 'auto' "
+                        "picks sparse (engine/evaluator.py)")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
                    help="force a JAX platform")
     args, extra = p.parse_known_args(argv)
@@ -66,7 +73,7 @@ def main(argv=None):
         print("metrics:", {k: round(v, 5) for k, v in m.items()}, flush=True)
     else:
         m = run_inference(trainer, ts, args.input, args.output,
-                          fmt=args.format)
+                          fmt=args.format, export=args.export)
         print(f"wrote {args.output}:", m, flush=True)
     return 0
 

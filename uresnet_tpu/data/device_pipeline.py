@@ -30,6 +30,48 @@ import jax
 import jax.numpy as jnp
 
 
+def _crop_window(sparse: Dict[str, jax.Array], image_size: int):
+    """Shared crop math (identical to pipeline.crop_or_pad_coords, tested
+    bit-level): returns (shifted coords (B,P,D) int32, in_window (B,P) bool,
+    point-validity mask (B,P) bool) for a padded sparse batch."""
+    coords = sparse["coords"].astype(jnp.int32)      # (B, P, D)
+    values = sparse["values"].astype(jnp.float32)    # (B, P)
+    npoints = sparse["npoints"].astype(jnp.int32)    # (B,)
+    shape = sparse["shape"].astype(jnp.int32)        # (B, D)
+    B, P, D = coords.shape
+    T = image_size
+
+    mask = (jnp.arange(P)[None, :] < npoints[:, None])           # (B, P)
+
+    # crop origin: charge-weighted centroid (half-up rounding), clamped so
+    # the max-charge pixel stays in the window (an unweighted centroid can
+    # whiff between tracks), then to the image.
+    vmask = values * mask
+    vsum = jnp.sum(vmask, axis=1)                                 # (B,)
+    w = vmask / jnp.maximum(vsum, 1e-30)[:, None]
+    center_w = jnp.sum(coords.astype(jnp.float32) * w[..., None], axis=1)
+    n = jnp.maximum(npoints, 1).astype(jnp.float32)
+    center_u = (jnp.sum(coords * mask[..., None], axis=1).astype(jnp.float32)
+                / n[:, None])
+    center = jnp.where((vsum > 0)[:, None], center_w, center_u)
+    center = jnp.where((npoints > 0)[:, None], center,
+                       shape.astype(jnp.float32) / 2.0)
+    # anchor: coordinate of the max-charge point (first point if no charge)
+    amax = jnp.argmax(jnp.where(mask, values, -jnp.inf), axis=1)  # (B,)
+    anchor = jnp.take_along_axis(coords, amax[:, None, None], axis=1)[:, 0]
+    lo = jnp.floor(center - T / 2.0 + 0.5).astype(jnp.int32)
+    lo = jnp.clip(lo, anchor - T + 1, anchor)
+    hi = jnp.maximum(shape - T, 0)
+    origin = jnp.where((npoints > 0)[:, None], jnp.clip(lo, 0, hi),
+                       jnp.clip(jnp.floor(
+                           shape.astype(jnp.float32) / 2.0 - T / 2.0 + 0.5
+                       ).astype(jnp.int32), 0, hi))               # (B, D)
+
+    shifted = coords - origin[:, None, :]
+    in_win = jnp.all((shifted >= 0) & (shifted < T), axis=-1) & mask
+    return shifted, in_win, mask
+
+
 @functools.partial(jax.jit, static_argnames=(
     "image_size", "num_class", "normalize_scale", "normalize_clip",
     "weight_mode", "nonzero_boost", "target_phases", "target_hpack"))
@@ -59,43 +101,12 @@ def densify_on_device(
       pack_like_logits order), enabling the d2s-free packed train loss
       without any full-resolution target relayout. ``data`` stays canonical
       (the packed model does its own stem s2d)."""
-    coords = sparse["coords"].astype(jnp.int32)      # (B, P, D)
     values = sparse["values"].astype(jnp.float32)    # (B, P)
     labels = sparse["labels"].astype(jnp.int32)      # (B, P)
-    npoints = sparse["npoints"].astype(jnp.int32)    # (B,)
-    shape = sparse["shape"].astype(jnp.int32)        # (B, D)
-    B, P, D = coords.shape
+    B, P, D = sparse["coords"].shape
     T = image_size
 
-    mask = (jnp.arange(P)[None, :] < npoints[:, None])           # (B, P)
-
-    # crop origin, identical to pipeline.crop_or_pad_coords: charge-weighted
-    # centroid (half-up rounding), clamped so the max-charge pixel stays in
-    # the window (an unweighted centroid can whiff between tracks), then to
-    # the image.
-    vmask = values * mask
-    vsum = jnp.sum(vmask, axis=1)                                 # (B,)
-    w = vmask / jnp.maximum(vsum, 1e-30)[:, None]
-    center_w = jnp.sum(coords.astype(jnp.float32) * w[..., None], axis=1)
-    n = jnp.maximum(npoints, 1).astype(jnp.float32)
-    center_u = (jnp.sum(coords * mask[..., None], axis=1).astype(jnp.float32)
-                / n[:, None])
-    center = jnp.where((vsum > 0)[:, None], center_w, center_u)
-    center = jnp.where((npoints > 0)[:, None], center,
-                       shape.astype(jnp.float32) / 2.0)
-    # anchor: coordinate of the max-charge point (first point if no charge)
-    amax = jnp.argmax(jnp.where(mask, values, -jnp.inf), axis=1)  # (B,)
-    anchor = jnp.take_along_axis(coords, amax[:, None, None], axis=1)[:, 0]
-    lo = jnp.floor(center - T / 2.0 + 0.5).astype(jnp.int32)
-    lo = jnp.clip(lo, anchor - T + 1, anchor)
-    hi = jnp.maximum(shape - T, 0)
-    origin = jnp.where((npoints > 0)[:, None], jnp.clip(lo, 0, hi),
-                       jnp.clip(jnp.floor(
-                           shape.astype(jnp.float32) / 2.0 - T / 2.0 + 0.5
-                       ).astype(jnp.int32), 0, hi))               # (B, D)
-
-    shifted = coords - origin[:, None, :]
-    in_win = jnp.all((shifted >= 0) & (shifted < T), axis=-1) & mask
+    shifted, in_win, mask = _crop_window(sparse, image_size)
 
     if augment_key is not None:
         # Mirror augment_batch's key/decision sequence EXACTLY (one
@@ -209,3 +220,33 @@ def densify_on_device(
         raise ValueError(f"unknown weight mode {weight_mode!r}")
 
     return {"data": data[..., None], "label": label, "weight": weight}
+
+
+def scores_at_points(
+    sparse: Dict[str, jax.Array],
+    scores: jax.Array,            # (B, *S, C) per-pixel score maps
+    *,
+    image_size: int,
+) -> jax.Array:
+    """Gather per-pixel scores back at the sparse batch's point coordinates
+    (the crop window math shared with `densify_on_device`). Returns
+    (B, P, C); rows for padded/out-of-window points carry garbage — mask
+    them with the host-side `crop_or_pad_coords` mask (bit-identical).
+
+    This is the ana-export fast path (SURVEY.md §3.2): the reference's
+    score writeback only needs scores AT the charge pixels, so reading back
+    (B, P, C) instead of the dense (B, *S, C) volumes cuts the
+    device->host transfer ~60x at 512^2/4k points — the relay link, not
+    the forward, bounds end-to-end inference (benchmarks/RESULTS.md).
+    The gather is (B, P) indices — point-cloud sized, nothing like the
+    full-image take_along_axis the loss once lost 30% of a step to."""
+    T = image_size
+    B, P, D = sparse["coords"].shape
+    shifted, in_win, _ = _crop_window(sparse, T)
+    flat = jnp.zeros((B, P), jnp.int32)
+    for d in range(D):
+        flat = flat * T + jnp.clip(shifted[..., d], 0, T - 1)
+    flat = jnp.where(in_win, flat, 0)
+    C = scores.shape[-1]
+    flat_scores = scores.reshape(B, T ** D, C)
+    return jnp.take_along_axis(flat_scores, flat[..., None], axis=1)

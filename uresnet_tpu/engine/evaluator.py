@@ -100,28 +100,220 @@ def _produce_streamed(trainer, ts, input_file, n, bs_events):
     step = _make_ana_step(trainer)
     n_batches = -(-n // bs_events)
     try:
+        import collections
+
         it = device_prefetch(iter(loader), sharding=trainer._leaf_sharding,
                              depth=cfg.data.prefetch_depth)
-        pending = None
+        # keep prefetch_depth dispatches in flight so the per-batch
+        # device->host readback round-trips overlap (the relay link has
+        # O(100ms) latency per sync — see benchmarks/RESULTS.md)
+        pending = collections.deque()
         for k in range(n_batches):
             batch = next(it)
             batch.pop("cursor", None)
             out = step(ts, batch)              # async dispatch
             idxs = list(range(k * bs_events, min((k + 1) * bs_events, n)))
             events = ev.read_events(input_file, idxs)
-            if pending is not None:
-                p_idxs, p_events, p_out = pending
+            pending.append((idxs, events, out))
+            if len(pending) > max(1, cfg.data.prefetch_depth):
+                p_idxs, p_events, p_out = pending.popleft()
                 p = jax.device_get(p_out)
                 yield (p_idxs, p_events, p["data"], p["label"], p["scores"])
-            pending = (idxs, events, out)
-        if pending is not None:
-            p_idxs, p_events, p_out = pending
+        while pending:
+            p_idxs, p_events, p_out = pending.popleft()
             p = jax.device_get(p_out)
             yield (p_idxs, p_events, p["data"], p["label"], p["scores"])
     finally:
         loader.stop()
         if hasattr(loader, "close"):
             loader.close()
+
+
+def _make_ana_step_sparse(trainer: Trainer):
+    """Sparse-export ana step: densify + forward + gather the softmax
+    scores back AT the point coordinates (device_pipeline.scores_at_points)
+    and reduce the metrics to confusion counts ON DEVICE — the readback is
+    (B, P, C) points + a handful of scalars instead of dense score volumes
+    (~60x less device->host traffic; the relay link bounds e2e ana)."""
+    import jax.numpy as jnp
+
+    from uresnet_tpu.data.device_pipeline import (densify_on_device,
+                                                  scores_at_points)
+    from uresnet_tpu.engine.metrics import segmentation_counts
+    from uresnet_tpu.models.uresnet import uresnet_apply
+
+    def step(ts: TrainState, batch):
+        row_valid = batch["row_valid"].astype(jnp.float32)
+        d = trainer.cfg.data
+        sparse = {k: v for k, v in batch.items() if k != "row_valid"}
+        dense = densify_on_device(
+            sparse, image_size=d.image_size,
+            num_class=trainer.cfg.model.num_class,
+            normalize_scale=d.normalize_scale,
+            normalize_clip=d.normalize_clip, weight_mode="ones")
+        logits, _ = uresnet_apply(ts.params, ts.model_state, dense["data"],
+                                  cfg=trainer.cfg.model, train=False)
+        scores = jax.nn.softmax(logits, axis=-1)
+        counts = segmentation_counts(
+            logits, dense["label"], dense["data"],
+            num_class=trainer.cfg.model.num_class, row_valid=row_valid)
+        pscores = scores_at_points(sparse, scores,
+                                   image_size=d.image_size)
+        return {"pscores": pscores, **counts}
+
+    return jax.jit(step, in_shardings=(trainer._rep, None),
+                   out_shardings=trainer._rep)
+
+
+def _produce_streamed_sparse(trainer, ts, input_file, n, bs_events):
+    """Sparse-export producer: yields (idxs, events, pscores (B,P,C) np,
+    counts) per batch, with the wrapped tail rows masked out of the counts.
+    Decode/transfer/forward overlap exactly as in `_produce_streamed`."""
+    import dataclasses
+
+    from uresnet_tpu.data.loader import device_prefetch, make_batch_loader
+
+    cfg = trainer.cfg
+    n_planes = len(cfg.data.planes)
+    dcfg = dataclasses.replace(
+        cfg.data, input_files=(input_file,), synthetic=False,
+        random_access=False, weight_mode="ones", transfer="sparse",
+        batch_size=bs_events * n_planes)
+    loader = make_batch_loader(dcfg, num_class=cfg.model.num_class,
+                               train=False, ndims=cfg.model.dims)
+    loader.start()
+    step = _make_ana_step_sparse(trainer)
+    n_batches = -(-n // bs_events)
+    try:
+        import collections
+
+        it = device_prefetch(iter(loader), sharding=trainer._leaf_sharding,
+                             depth=cfg.data.prefetch_depth)
+        # prefetch_depth dispatches in flight (see _produce_streamed)
+        pending = collections.deque()
+        for k in range(n_batches):
+            batch = next(it)
+            batch.pop("cursor", None)
+            idxs = list(range(k * bs_events, min((k + 1) * bs_events, n)))
+            valid_events = len(idxs)
+            batch["row_valid"] = jax.device_put(
+                (np.arange(bs_events * n_planes) // n_planes
+                 < valid_events).astype(np.float32))
+            out = step(ts, batch)              # async dispatch
+            events = ev.read_events(input_file, idxs)
+            pending.append((idxs, events, out))
+            if len(pending) > max(1, cfg.data.prefetch_depth):
+                p_idxs, p_events, p_out = pending.popleft()
+                p = jax.device_get(p_out)
+                yield (p_idxs, p_events, p.pop("pscores"), p)
+        while pending:
+            p_idxs, p_events, p_out = pending.popleft()
+            p = jax.device_get(p_out)
+            yield (p_idxs, p_events, p.pop("pscores"), p)
+    finally:
+        loader.stop()
+        if hasattr(loader, "close"):
+            loader.close()
+
+
+def _run_inference_sparse(trainer, ts, input_file, output_file, *,
+                          fmt, bs_events) -> Dict[str, float]:
+    """Sparse-export pass (see run_inference ``export='sparse'``): the
+    device ships per-POINT scores + confusion counts; the host rebuilds the
+    byte-identical export using the same crop window math
+    (pipeline.crop_or_pad_coords == device _crop_window, pinned bit-level
+    in tests/test_device_pipeline.py)."""
+    import os
+
+    from uresnet_tpu.engine.metrics import metrics_from_counts
+
+    cfg = trainer.cfg
+    n = ev.num_events(input_file)
+    planes = tuple(cfg.data.planes)
+    num_class = cfg.model.num_class
+    S = cfg.data.image_size
+    P = cfg.data.max_points
+    scale, clip = cfg.data.normalize_scale, cfg.data.normalize_clip
+
+    out_event, out_plane, out_coords = [], [], []
+    out_scores, out_pred, out_label = [], [], []
+    usef_events = []
+    n_exported = 0
+    agg_counts: Dict[str, np.ndarray] = {}
+
+    for idxs, events, pscores, counts in _produce_streamed_sparse(
+            trainer, ts, input_file, n, bs_events):
+        for key, v in counts.items():
+            agg_counts[key] = agg_counts.get(key, 0.0) + np.asarray(
+                v, np.float64)
+        rows_per_event = len(planes)
+        for bi, (eidx, evt) in enumerate(zip(idxs, events)):
+            by_id = {p.plane_id: p for p in evt.planes}
+            score_planes = []
+            for pi, pid in enumerate(planes):
+                row = bi * rows_per_event + pi
+                pl = by_id[pid]
+                npt = min(len(pl.values), P)   # sparse-wire truncation
+                c = pl.coords[:npt]
+                v = pl.values[:npt]
+                l = pl.labels[:npt]
+                shifted, inwin = crop_or_pad_coords(c, pl.shape, S,
+                                                    values=v)
+                sc_all = np.asarray(pscores[row, :npt], np.float32)
+                pred_pts = sc_all.argmax(-1)
+                # npz export set == dense path's data_img > 0: in-window
+                # points whose clipped normalized value is positive
+                mask = inwin & (np.clip(v * scale, 0.0, clip) > 0)
+                win = shifted[mask]
+                # dense path emits np.argwhere order = sorted flat index
+                flat = np.zeros(len(win), np.int64)
+                for d in range(win.shape[1] if len(win) else 0):
+                    flat = flat * S + win[:, d]
+                order = np.argsort(flat, kind="stable")
+                out_event.append(np.full(mask.sum(), eidx, np.int32))
+                out_plane.append(np.full(mask.sum(), pid, np.int32))
+                out_coords.append(win[order].astype(np.int32))
+                out_scores.append(sc_all[mask][order])
+                out_pred.append(pred_pts[mask][order].astype(np.int32))
+                out_label.append(l[mask][order].astype(np.int32))
+                n_exported += int(mask.sum())
+                if fmt == "usef":
+                    # usef writeback keeps FILE order over in-window points
+                    orig = c[inwin].astype(np.int32)
+                    sc = sc_all[inwin]
+                    pr = pred_pts[inwin].astype(np.uint8)
+                    for cls in range(num_class):
+                        score_planes.append(ev.SparsePlane(
+                            plane_id=score_plane_id(pid, cls, num_class),
+                            shape=tuple(pl.shape),
+                            coords=orig,
+                            values=sc[:, cls].astype(np.float32),
+                            labels=pr))
+            if fmt == "usef":
+                usef_events.append(ev.SparseEvent(planes=score_planes))
+
+    metrics = metrics_from_counts(agg_counts)
+    metrics.update(n_events=n, n_pixels=n_exported)
+
+    if fmt == "usef":
+        tmpu = output_file + ".tmp"
+        ev.write_events(tmpu, usef_events, ndims=trainer.cfg.model.dims)
+        os.replace(tmpu, output_file)
+        return metrics
+
+    result = {
+        "event_id": np.concatenate(out_event) if out_event else np.zeros(0, np.int32),
+        "plane_id": np.concatenate(out_plane) if out_plane else np.zeros(0, np.int32),
+        "coords": np.concatenate(out_coords) if out_coords else np.zeros((0, 2), np.int32),
+        "scores": np.concatenate(out_scores) if out_scores else np.zeros((0, num_class), np.float32),
+        "pred": np.concatenate(out_pred) if out_pred else np.zeros(0, np.int32),
+        "label": np.concatenate(out_label) if out_label else np.zeros(0, np.int32),
+    }
+    tmp = output_file + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **result)
+    os.replace(tmp, output_file)
+    return metrics
 
 
 def run_inference(
@@ -133,6 +325,7 @@ def run_inference(
     batch_events: Optional[int] = None,
     fmt: str = "npz",
     streamed: bool = True,
+    export: str = "auto",
 ) -> Dict[str, float]:
     """Sequential pass over `input_file`; writes per-pixel score export.
 
@@ -152,14 +345,31 @@ def run_inference(
     forward, one-deep readback pipeline; ``streamed=False`` is the legacy
     synchronous host-densify path (kept as the equality oracle,
     tests/test_inference.py). Exports are identical either way.
+
+    ``export``: 'dense' reads back full score volumes; 'sparse' gathers
+    scores at the point coordinates ON DEVICE and reduces metrics to
+    confusion counts in-step (~60x less readback — the production TPU ana
+    mode); 'auto' (default) picks 'sparse' when streamed. Exports are
+    identical in all modes, with one documented caveat: the sparse wire
+    truncates events to data.max_points (exactly like training), so events
+    exceeding max_points export only their first max_points points.
     """
     if fmt not in ("npz", "usef"):
         raise ValueError(f"unknown score export format {fmt!r}")
+    if export not in ("auto", "dense", "sparse"):
+        raise ValueError(f"unknown export mode {export!r}")
     cfg = trainer.cfg
     n = ev.num_events(input_file)
     planes = tuple(cfg.data.planes)
     num_class = cfg.model.num_class
     bs_events = batch_events or max(1, cfg.data.batch_size // len(planes))
+    if export == "auto":
+        export = "sparse" if streamed else "dense"
+    if export == "sparse" and not streamed:
+        raise ValueError("export='sparse' requires streamed=True")
+    if export == "sparse":
+        return _run_inference_sparse(trainer, ts, input_file, output_file,
+                                     fmt=fmt, bs_events=bs_events)
 
     out_event, out_plane, out_coords = [], [], []
     out_scores, out_pred, out_label = [], [], []
