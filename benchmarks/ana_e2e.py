@@ -26,6 +26,11 @@ def main():
     p.add_argument("--modes", nargs="*",
                    default=["sparse", "dense", "host"],
                    help="subset of {sparse, dense, host} to run")
+    p.add_argument("--device-only", action="store_true",
+                   help="time the fused sparse ana STEP (densify + forward "
+                        "+ softmax + point-gather + confusion counts) on a "
+                        "staged device batch — the rate a direct-attached "
+                        "host would see before link latency")
     args = p.parse_args()
 
     from uresnet_tpu.config import Config, DataConfig, ModelConfig
@@ -51,6 +56,31 @@ def main():
                         random_access=False))
     tr = Trainer(cfg, mesh=make_mesh())
     ts = tr.init_state()
+
+    if args.device_only:
+        import numpy as np
+
+        from benchmarks.micro import timeit
+        from uresnet_tpu.data.loader import make_batch_loader
+        from uresnet_tpu.engine.evaluator import _make_ana_step_sparse
+
+        import dataclasses
+
+        dcfg = dataclasses.replace(cfg.data, transfer="sparse",
+                                   weight_mode="ones")
+        loader = make_batch_loader(dcfg, num_class=cfg.model.num_class,
+                                   train=False, ndims=cfg.model.dims)
+        b = loader.next()
+        b.pop("cursor", None)
+        if hasattr(loader, "close"):
+            loader.stop(); loader.close()
+        b["row_valid"] = np.ones(args.batch, np.float32)
+        dev = tr._device_batch(b)
+        step = _make_ana_step_sparse(tr)
+        t = timeit(lambda ts_, b_: step(ts_, b_), ts, dev, iters=10)
+        print(f"device-only fused ana step: {t * 1e3:.2f} ms/batch "
+              f"= {args.batch / t:.0f} img/s", flush=True)
+        return
 
     runs = {
         "sparse": dict(streamed=True, export="sparse"),

@@ -253,3 +253,26 @@ def test_cxx_same_handle_stop_seek_start(usef_file):
         assert int(w["cursor"]) == int(g["cursor"])
         np.testing.assert_array_equal(w["data"], g["data"])
     np.testing.assert_array_equal(got_seek["data"], want[2]["data"])
+
+
+def test_cxx_file_weights_shuffled_epoch_resume(weighted_usef_file):
+    """File weights under the shuffled stream + same-handle restart: the
+    weights leaf stays bit-exact across producers and across a
+    stop/seek/start resume (weights must follow their events through the
+    splitmix64 epoch shuffle)."""
+    cfg = _cfg(weighted_usef_file, weight_mode="file", transfer="sparse",
+               max_points=2048, random_access=True, seed=77)
+    py = BatchLoader(cfg, num_class=3)
+    cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(2)
+    batches = []
+    for _ in range(6):                       # crosses the 10-event epoch
+        a, b = py.next(), cx.next()
+        np.testing.assert_array_equal(a["weights"], b["weights"])
+        np.testing.assert_array_equal(a["values"], b["values"])
+        batches.append(b)
+    cx.stop()
+    cx.seek(int(batches[2]["cursor"]))       # same-handle rewind
+    cx.start(1)
+    again = cx.next()
+    np.testing.assert_array_equal(again["weights"], batches[3]["weights"])
+    cx.stop(); cx.close()

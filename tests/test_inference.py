@@ -307,3 +307,59 @@ def test_scores_at_points_matches_dense_indexing():
         npt = len(pl.values)
         want = fs[row][tuple(shifted[inwin].T)]
         np.testing.assert_array_equal(got[row, :npt][inwin], want)
+
+
+def test_sparse_export_3d_matches_dense(tmp_path):
+    """Sparse export in 3D: point-gather crop math and npz/usef ordering
+    generalize to volumes (coords (N,3), byte-identical to the host path)."""
+    path = generate_file(str(tmp_path / "v3.usef"), 4, seed=11,
+                         shape=(64, 64, 64), planes=(0,))
+    cfg = Config(
+        model=ModelConfig(dims=3, depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=32, batch_size=2, planes=(0,),
+                        input_files=(path,), synthetic=False,
+                        random_access=False, max_points=4096),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "c"),
+                          log_dir=str(tmp_path / "l")),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state()
+    m_h = run_inference(trainer, ts, path, str(tmp_path / "h.npz"),
+                        streamed=False, export="dense")
+    m_s = run_inference(trainer, ts, path, str(tmp_path / "s.npz"),
+                        streamed=True, export="sparse")
+    assert m_h["n_pixels"] == m_s["n_pixels"]
+    zh, zs = np.load(str(tmp_path / "h.npz")), np.load(str(tmp_path / "s.npz"))
+    assert zh["coords"].shape[1] == 3
+    for k in zh.files:
+        np.testing.assert_array_equal(zh[k], zs[k], err_msg=k)
+
+
+def test_evaluate_dataset_exact_multifile(tmp_path):
+    """Exact mode spans MULTIPLE input files: n_events/batch count derive
+    from the union, every event counted once."""
+    from uresnet_tpu.data import events as ev
+    from uresnet_tpu.data.pipeline import densify_batch
+
+    p1 = generate_file(str(tmp_path / "a.usef"), 3, seed=1,
+                       shape=(128, 128), planes=(0,))
+    p2 = generate_file(str(tmp_path / "b.usef"), 4, seed=2,
+                       shape=(128, 128), planes=(0,))
+    cfg = Config(
+        model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=32, batch_size=2, planes=(0,),
+                        input_files=(p1, p2), synthetic=False,
+                        random_access=False),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "c"),
+                          log_dir=str(tmp_path / "l")),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    m = evaluate_dataset(trainer, trainer.init_state())
+    assert m["n_events"] == 7
+    assert m["n_pixels"] == 7 * 32 * 32
+    evs = ev.read_events(p1) + ev.read_events(p2)
+    batch = densify_batch(evs, image_size=32, planes=(0,),
+                          weight_mode="ones", num_class=3)
+    assert m["n_nonzero"] == float((batch["data"][..., 0] > 0).sum())

@@ -141,12 +141,17 @@ class ParallelConfig:
     """Mesh extents (SURVEY.md §2.3/§2.4). data = DP allreduce over ICI;
     spatial = spatial partitioning of H (conv-net CP analog — GSPMD inserts
     the halo exchanges); model = channel-sharded TP hook (parallel/tp.py).
-    data=0 means "all remaining devices"."""
+    data=0 means "all remaining devices".
+
+    BN under DP is ALWAYS global-batch: the pjit step computes batch stats
+    as plain means over the batch-sharded arrays, so GSPMD compiles the
+    cross-replica reduction automatically (tests pin DP == single-device on
+    the concatenated batch). There is deliberately no per-replica-BN knob —
+    it would be a different numerical model, not a parallelism option."""
 
     data: int = 0
     spatial: int = 1
     model: int = 1
-    cross_replica_bn: bool = True    # global-batch BN stats under pjit
 
 
 @dataclass

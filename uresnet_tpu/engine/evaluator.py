@@ -304,7 +304,8 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
     result = {
         "event_id": np.concatenate(out_event) if out_event else np.zeros(0, np.int32),
         "plane_id": np.concatenate(out_plane) if out_plane else np.zeros(0, np.int32),
-        "coords": np.concatenate(out_coords) if out_coords else np.zeros((0, 2), np.int32),
+        "coords": np.concatenate(out_coords) if out_coords else np.zeros(
+            (0, trainer.cfg.model.dims), np.int32),
         "scores": np.concatenate(out_scores) if out_scores else np.zeros((0, num_class), np.float32),
         "pred": np.concatenate(out_pred) if out_pred else np.zeros(0, np.int32),
         "label": np.concatenate(out_label) if out_label else np.zeros(0, np.int32),
@@ -452,7 +453,8 @@ def run_inference(
     result = {
         "event_id": np.concatenate(out_event) if out_event else np.zeros(0, np.int32),
         "plane_id": np.concatenate(out_plane) if out_plane else np.zeros(0, np.int32),
-        "coords": np.concatenate(out_coords) if out_coords else np.zeros((0, 2), np.int32),
+        "coords": np.concatenate(out_coords) if out_coords else np.zeros(
+            (0, trainer.cfg.model.dims), np.int32),
         "scores": np.concatenate(out_scores) if out_scores else np.zeros((0, cfg.model.num_class), np.float32),
         "pred": np.concatenate(out_pred) if out_pred else np.zeros(0, np.int32),
         "label": np.concatenate(out_label) if out_label else np.zeros(0, np.int32),
