@@ -22,6 +22,7 @@ def main():
     p.add_argument("--events", type=int, default=512)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=512)
+    p.add_argument("--dims", type=int, default=2, choices=(2, 3))
     p.add_argument("--fmt", default="npz", choices=("npz", "usef"))
     p.add_argument("--modes", nargs="*",
                    default=["sparse", "dense", "host"],
@@ -39,18 +40,22 @@ def main():
     from uresnet_tpu.engine.trainer import Trainer
     from uresnet_tpu.parallel.mesh import make_mesh
 
-    path = os.path.join("/tmp", f"ana_e2e_{args.events}_{args.size}.usef")
+    path = os.path.join(
+        "/tmp", f"ana_e2e_{args.dims}d_{args.events}_{args.size}.usef")
     if not os.path.exists(path):
-        generate_file(path, args.events, seed=7,
-                      shape=(max(args.size, 256),) * 2, planes=(0,))
+        shape = ((max(args.size, 256),) * 2 if args.dims == 2
+                 else (args.size,) * 3)
+        generate_file(path, args.events, seed=7, shape=shape, planes=(0,))
 
     import jax
 
     on_tpu = jax.devices()[0].platform == "tpu"
     cfg = Config(
-        model=ModelConfig(base_filters=16, depth=5,
+        model=ModelConfig(dims=args.dims, base_filters=16,
+                          depth=5 if args.dims == 2 else 4,
                           compute_dtype="bfloat16" if on_tpu else "float32",
-                          pack=on_tpu, pack_extra_h=on_tpu),
+                          pack=on_tpu,
+                          pack_extra_h=on_tpu and args.dims == 2),
         data=DataConfig(image_size=args.size, batch_size=args.batch,
                         planes=(0,), input_files=(path,), synthetic=False,
                         random_access=False))

@@ -52,3 +52,38 @@ def test_trainer_clear_error_on_indivisible_batch(tmp_path):
     with pytest.raises(ValueError) as e:
         Trainer(cfg)
     assert "divisible" in str(e.value) and "parallel.data" in str(e.value)
+
+
+def test_event_display_smoke(tmp_path):
+    """The visual-validation tool (SURVEY.md §4 'visual inspection')
+    renders a three-panel PNG from a USEF file + checkpoint."""
+    pytest.importorskip("matplotlib")
+    import sys
+
+    from uresnet_tpu.data.synthetic import generate_file
+
+    sys.path.insert(0, ".")
+    from tools.event_display import main as display_main
+
+    path = generate_file(str(tmp_path / "d.usef"), 2, seed=5,
+                         shape=(128, 128), planes=(0,))
+    cfg = str(tmp_path / "cfg.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            "model: {depth: 2, base_filters: 4, compute_dtype: float32}\n"
+            "data: {image_size: 32, batch_size: 1, planes: [0]}\n"
+            "parallel: {data: 1}\n"
+            f"train: {{checkpoint_dir: {tmp_path}/ck, iterations: 2,\n"
+            f"  summary_iter: 2, checkpoint_iter: 2, val_iter: 0,\n"
+            f"  log_dir: {tmp_path}/lg}}\n")
+    from uresnet_tpu.cli.train import main as train_main
+
+    train_main([cfg, f"data.input_files={path}", "data.synthetic=false"])
+    out = str(tmp_path / "disp.png")
+    rc = display_main([cfg, f"data.input_files={path}",
+                       "data.synthetic=false", "--input", path,
+                       "--event", "1", "--out", out])
+    assert not rc
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 1000

@@ -363,3 +363,100 @@ def test_evaluate_dataset_exact_multifile(tmp_path):
     batch = densify_batch(evs, image_size=32, planes=(0,),
                           weight_mode="ones", num_class=3)
     assert m["n_nonzero"] == float((batch["data"][..., 0] > 0).sum())
+
+
+def test_gate_surfaces_agree_exactly_on_trained_model(tmp_path):
+    """On a TRAINED checkpoint (confident logits, no argmax near-ties) the
+    two gate surfaces — evaluate_dataset exact mode and run_inference —
+    must report IDENTICAL dataset metrics, not tolerance-close ones."""
+    import dataclasses
+
+    path = generate_file(str(tmp_path / "g.usef"), 6, seed=13,
+                         shape=(128, 128), planes=(0,))
+    cfg = Config(
+        model=ModelConfig(depth=2, base_filters=8, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=32, batch_size=2, planes=(0,),
+                        input_files=(path,), synthetic=False,
+                        random_access=True),
+        train=TrainConfig(iterations=30, summary_iter=30, checkpoint_iter=0,
+                          val_iter=0, seed=3,
+                          checkpoint_dir=str(tmp_path / "c"),
+                          log_dir=str(tmp_path / "l")),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts, _ = trainer.fit(iterations=30, log=False)
+    # evaluation is sequential regardless of the train-time shuffle
+    trainer.cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, random_access=False))
+    m_eval = evaluate_dataset(trainer, ts)
+    m_inf = run_inference(trainer, ts, path, str(tmp_path / "g.npz"))
+    assert m_eval["n_nonzero"] == m_inf["n_pixels"]
+    for k in ("acc_all", "acc_nonzero", "miou", "iou_class0", "iou_class1",
+              "iou_class2"):
+        assert m_eval[k] == m_inf[k], (k, m_eval[k], m_inf[k])
+
+
+def test_evaluate_dataset_exact_under_dp_mesh(tmp_path):
+    """Exact evaluation under the 8-device DP mesh == single-device: the
+    confusion counts reduce globally under pjit, the row mask rides the
+    batch sharding."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from uresnet_tpu.config import ParallelConfig
+
+    path = generate_file(str(tmp_path / "dp.usef"), 10, seed=17,
+                         shape=(128, 128), planes=(0,))
+    base = Config(
+        model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=32, batch_size=8, planes=(0,),
+                        input_files=(path,), synthetic=False,
+                        random_access=False),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "c"),
+                          log_dir=str(tmp_path / "l")),
+    )
+    tr1 = Trainer(base, mesh=make_mesh(1))
+    ts = tr1.init_state()
+    m1 = evaluate_dataset(tr1, ts)
+    import dataclasses
+
+    cfg8 = dataclasses.replace(base, parallel=ParallelConfig(data=8))
+    tr8 = Trainer(cfg8)
+    ts8 = tr8.init_state()
+    m8 = evaluate_dataset(tr8, ts8)
+    assert m1["n_events"] == m8["n_events"] == 10
+    assert m1["n_pixels"] == m8["n_pixels"]
+    assert m1["n_nonzero"] == m8["n_nonzero"]
+    for k in ("acc_all", "acc_nonzero", "miou"):
+        assert abs(m1[k] - m8[k]) < 5e-3, (k, m1[k], m8[k])
+
+
+def test_evaluate_dataset_exact_dense_transfer(tmp_path):
+    """Exact mode over data.transfer='dense' (host densify) must count the
+    same pixels as the sparse-transfer path."""
+    import dataclasses
+
+    path = generate_file(str(tmp_path / "dt.usef"), 5, seed=19,
+                         shape=(128, 128), planes=(0,))
+    base = Config(
+        model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=32, batch_size=2, planes=(0,),
+                        input_files=(path,), synthetic=False,
+                        random_access=False),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "c"),
+                          log_dir=str(tmp_path / "l")),
+    )
+    ms = {}
+    for transfer in ("sparse", "dense"):
+        cfg = dataclasses.replace(
+            base, data=dataclasses.replace(base.data, transfer=transfer))
+        tr = Trainer(cfg, mesh=make_mesh(1))
+        ms[transfer] = evaluate_dataset(tr, tr.init_state())
+    assert ms["sparse"]["n_pixels"] == ms["dense"]["n_pixels"] == 5 * 32 * 32
+    assert ms["sparse"]["n_nonzero"] == ms["dense"]["n_nonzero"]
+    for k in ("acc_all", "acc_nonzero", "miou"):
+        assert abs(ms["sparse"][k] - ms["dense"][k]) < 5e-3
