@@ -32,9 +32,6 @@ from uresnet_tpu.ops.pack import depth_to_space, space_to_depth
 def s2d_slices(x, dims=3):
     parts = []
     for p in range(2 ** dims):
-        idx = (slice(None),)
-        for d in reversed(range(dims)):
-            pass
         # phase-major (p_0, ..., p_{dims-1}): p0 is the most-significant bit
         sl = [slice(None)]
         for d in range(dims):

@@ -460,3 +460,92 @@ def test_evaluate_dataset_exact_dense_transfer(tmp_path):
     assert ms["sparse"]["n_nonzero"] == ms["dense"]["n_nonzero"]
     for k in ("acc_all", "acc_nonzero", "miou"):
         assert abs(ms["sparse"][k] - ms["dense"][k]) < 5e-3
+
+
+def test_ana_never_truncates_busy_events(tmp_path):
+    """An event with MORE points than data.max_points: ana auto-sizes its
+    sparse pad from the file (events.max_plane_points), so streamed
+    exports (both modes) still match the never-truncating host path
+    (round-3 review finding: the wire truncation silently shifted the
+    crop window and dropped pixels)."""
+    from uresnet_tpu.data import events as ev
+
+    rng = np.random.default_rng(3)
+    planes = []
+    for npts in (700, 80):   # first event is 'busy': 700 > max_points=256
+        n = npts
+        # unique coords packed into one 64^2 region so the crop window
+        # keeps them ALL (the busy event then clearly exceeds max_points)
+        cs = rng.choice(64 * 64, n, replace=False)
+        coords = np.stack([32 + cs // 64, 32 + cs % 64], 1).astype(np.int32)
+        planes.append(ev.SparsePlane(
+            plane_id=0, shape=(128, 128), coords=coords,
+            values=rng.uniform(1, 50, n).astype(np.float32),
+            labels=rng.integers(0, 3, n).astype(np.uint8)))
+    path = str(tmp_path / "busy.usef")
+    ev.write_events(path, [ev.SparseEvent([p]) for p in planes], ndims=2)
+
+    cfg = Config(
+        model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=64, batch_size=2, planes=(0,),
+                        input_files=(path,), synthetic=False,
+                        random_access=False, max_points=256),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "c"),
+                          log_dir=str(tmp_path / "l")),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state()
+    m_h = run_inference(trainer, ts, path, str(tmp_path / "h.npz"),
+                        streamed=False, export="dense")
+    m_d = run_inference(trainer, ts, path, str(tmp_path / "d.npz"),
+                        streamed=True, export="dense")
+    m_s = run_inference(trainer, ts, path, str(tmp_path / "s.npz"),
+                        streamed=True, export="sparse")
+    # all paths agree, and the busy event's exported pixels far exceed
+    # max_points=256 — a truncating wire could export at most ~336 total
+    assert m_h["n_pixels"] == m_d["n_pixels"] == m_s["n_pixels"]
+    assert m_h["n_pixels"] > 500
+    zh = np.load(str(tmp_path / "h.npz"))
+    for other in ("d", "s"):
+        z = np.load(str(tmp_path / f"{other}.npz"))
+        for k in zh.files:
+            np.testing.assert_array_equal(zh[k], z[k], err_msg=(other, k))
+
+
+def test_sparse_export_dedupes_colliding_points(tmp_path):
+    """Duplicate coordinates in a plane: densify scatters last-wins, so
+    the per-point sparse export must dedupe to the per-PIXEL view
+    (round-3 review finding)."""
+    from uresnet_tpu.data import events as ev
+
+    coords = np.array([[10, 10], [12, 12], [10, 10], [20, 20]], np.int32)
+    values = np.array([5.0, 7.0, 9.0, 0.0], np.float32)  # dup at (10,10);
+    labels = np.array([1, 2, 2, 1], np.uint8)            # (20,20) zero-val
+    path = str(tmp_path / "dup.usef")
+    ev.write_events(path, [ev.SparseEvent([ev.SparsePlane(
+        plane_id=0, shape=(64, 64), coords=coords, values=values,
+        labels=labels)])], ndims=2)
+
+    cfg = Config(
+        model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=64, batch_size=1, planes=(0,),
+                        input_files=(path,), synthetic=False,
+                        random_access=False),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "c"),
+                          log_dir=str(tmp_path / "l")),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state()
+    m_h = run_inference(trainer, ts, path, str(tmp_path / "h.npz"),
+                        streamed=False, export="dense")
+    m_s = run_inference(trainer, ts, path, str(tmp_path / "s.npz"),
+                        streamed=True, export="sparse")
+    # 2 pixels survive: (10,10) once (last-wins value 9, label 2), (12,12);
+    # (20,20) has zero value -> excluded
+    assert m_h["n_pixels"] == m_s["n_pixels"] == 2
+    zh, zs = np.load(str(tmp_path / "h.npz")), np.load(str(tmp_path / "s.npz"))
+    for k in zh.files:
+        np.testing.assert_array_equal(zh[k], zs[k], err_msg=k)
+    assert zs["label"].tolist() == [2, 2]    # last-wins at (10,10)

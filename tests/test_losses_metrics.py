@@ -45,3 +45,43 @@ def test_metrics_all_empty_nonzero_guard():
     data = jnp.zeros((1, 2, 2, 1))
     m = segmentation_metrics(logits, labels, data, num_class=3)
     assert np.isfinite(float(m["acc_nonzero"]))
+
+
+def test_segmentation_counts_per_row_exact():
+    """segmentation_counts returns PER-ROW f32 sums (each row < 2^24
+    pixels -> exact integers) and reduce_counts folds them in float64, so
+    dataset confusion totals stay exact at any scale (round-3 review:
+    a single f32 accumulator saturates at 16.7M pixels)."""
+    import jax
+    import numpy as np
+
+    from uresnet_tpu.engine.metrics import (metrics_from_counts,
+                                            reduce_counts,
+                                            segmentation_counts,
+                                            segmentation_metrics)
+
+    rng = np.random.default_rng(9)
+    B, S, C = 4, 16, 3
+    logits = rng.standard_normal((B, S, S, C)).astype(np.float32)
+    labels = rng.integers(0, C, (B, S, S)).astype(np.int32)
+    data = (rng.random((B, S, S, 1)) > 0.7).astype(np.float32)
+
+    counts = jax.device_get(segmentation_counts(
+        logits, labels, data, num_class=C))
+    assert counts["conf"].shape == (B, C, C)
+    assert counts["correct_nonzero"].shape == (B,)
+    r = reduce_counts(counts)
+    assert r["conf"].shape == (C, C) and r["conf"].dtype == np.float64
+    assert r["conf"].sum() == B * S * S          # every pixel counted once
+    m = metrics_from_counts(r)
+    want = jax.device_get(segmentation_metrics(
+        logits, labels, data, num_class=C))
+    for k in ("acc_all", "acc_nonzero", "miou"):
+        assert abs(m[k] - float(want[k])) < 1e-6, k
+
+    # row masking: zeroing the last row removes exactly its pixels
+    rv = np.array([1, 1, 1, 0], np.float32)
+    r2 = reduce_counts(jax.device_get(segmentation_counts(
+        logits, labels, data, num_class=C, row_valid=rv)))
+    assert r2["conf"].sum() == 3 * S * S
+    assert r2["n_pixels"] == 3 * S * S

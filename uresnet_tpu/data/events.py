@@ -146,3 +146,26 @@ def read_events(path: str, indices: Sequence[int] | None = None) -> List[SparseE
 
 def num_events(path: str) -> int:
     return len(read_header(path)[2])
+
+
+def max_plane_points(path: str) -> int:
+    """Largest per-plane point count in the file (metadata-only scan — one
+    seek per plane, payloads skipped). The inference path sizes its sparse
+    pad length from this so ana NEVER truncates events, whatever
+    data.max_points the training wire uses (engine/evaluator.py)."""
+    version, ndims, offsets = read_header(path)
+    m = 0
+    with open(path, "rb") as f:
+        for off in offsets:
+            f.seek(int(off))
+            (n_planes,) = struct.unpack("<I", f.read(4))
+            for _ in range(n_planes):
+                f.seek(4 + 4 * ndims, 1)            # plane_id + shape
+                (n,) = struct.unpack("<I", f.read(4))
+                m = max(m, n)
+                f.seek(n * (4 * ndims + 4 + 1), 1)  # coords+values+labels
+                if version >= 2:
+                    (has_w,) = struct.unpack("<B", f.read(1))
+                    if has_w:
+                        f.seek(4 * n, 1)
+    return m

@@ -29,6 +29,38 @@ def score_plane_id(plane_id: int, cls: int, num_class: int) -> int:
     return plane_id * num_class + cls
 
 
+def _write_export(output_file, fmt, *, dims, num_class, usef_events,
+                  npz_columns):
+    """Atomic export writer shared by the dense and sparse-export paths:
+    fmt='usef' writes the score-plane events; fmt='npz' concatenates the
+    accumulated per-plane column lists (empty-safe)."""
+    if fmt == "usef":
+        tmpu = output_file + ".tmp"
+        ev.write_events(tmpu, usef_events, ndims=dims)
+        os.replace(tmpu, output_file)
+        return
+    out_event, out_plane, out_coords, out_scores, out_pred, out_label = \
+        npz_columns
+    result = {
+        "event_id": (np.concatenate(out_event) if out_event
+                     else np.zeros(0, np.int32)),
+        "plane_id": (np.concatenate(out_plane) if out_plane
+                     else np.zeros(0, np.int32)),
+        "coords": (np.concatenate(out_coords) if out_coords
+                   else np.zeros((0, dims), np.int32)),
+        "scores": (np.concatenate(out_scores) if out_scores
+                   else np.zeros((0, num_class), np.float32)),
+        "pred": (np.concatenate(out_pred) if out_pred
+                 else np.zeros(0, np.int32)),
+        "label": (np.concatenate(out_label) if out_label
+                  else np.zeros(0, np.int32)),
+    }
+    tmp = output_file + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **result)
+    os.replace(tmp, output_file)
+
+
 def _make_ana_step(trainer: Trainer):
     """Jitted ana step: (sparse or dense) batch -> densified data/label +
     softmax scores in ONE dispatch — the streamed inference path reuses the
@@ -80,7 +112,8 @@ def _produce_host(trainer, ts, input_file, n, bs_events):
         yield idxs, events, batch["data"], batch["label"], scores
 
 
-def _produce_streamed(trainer, ts, input_file, n, bs_events):
+def _produce_streamed(trainer, ts, input_file, n, bs_events,
+                      max_points):
     """Streamed producer: threaded loader (C++ decoder when built) ->
     sparse transfer -> device densify fused with the forward -> one-deep
     readback pipeline, so decode/transfer/compute overlap while the export
@@ -92,7 +125,7 @@ def _produce_streamed(trainer, ts, input_file, n, bs_events):
     cfg = trainer.cfg
     dcfg = dataclasses.replace(
         cfg.data, input_files=(input_file,), synthetic=False,
-        random_access=False, weight_mode="ones",
+        random_access=False, weight_mode="ones", max_points=max_points,
         batch_size=bs_events * len(cfg.data.planes))
     loader = make_batch_loader(dcfg, num_class=cfg.model.num_class,
                                train=False, ndims=cfg.model.dims)
@@ -165,7 +198,8 @@ def _make_ana_step_sparse(trainer: Trainer):
                    out_shardings=trainer._rep)
 
 
-def _produce_streamed_sparse(trainer, ts, input_file, n, bs_events):
+def _produce_streamed_sparse(trainer, ts, input_file, n, bs_events,
+                             max_points):
     """Sparse-export producer: yields (idxs, events, pscores (B,P,C) np,
     counts) per batch, with the wrapped tail rows masked out of the counts.
     Decode/transfer/forward overlap exactly as in `_produce_streamed`."""
@@ -178,7 +212,7 @@ def _produce_streamed_sparse(trainer, ts, input_file, n, bs_events):
     dcfg = dataclasses.replace(
         cfg.data, input_files=(input_file,), synthetic=False,
         random_access=False, weight_mode="ones", transfer="sparse",
-        batch_size=bs_events * n_planes)
+        max_points=max_points, batch_size=bs_events * n_planes)
     loader = make_batch_loader(dcfg, num_class=cfg.model.num_class,
                                train=False, ndims=cfg.model.dims)
     loader.start()
@@ -217,7 +251,8 @@ def _produce_streamed_sparse(trainer, ts, input_file, n, bs_events):
 
 
 def _run_inference_sparse(trainer, ts, input_file, output_file, *,
-                          fmt, bs_events) -> Dict[str, float]:
+                          fmt, bs_events,
+                          max_points) -> Dict[str, float]:
     """Sparse-export pass (see run_inference ``export='sparse'``): the
     device ships per-POINT scores + confusion counts; the host rebuilds the
     byte-identical export using the same crop window math
@@ -225,14 +260,15 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
     in tests/test_device_pipeline.py)."""
     import os
 
-    from uresnet_tpu.engine.metrics import metrics_from_counts
+    from uresnet_tpu.engine.metrics import (metrics_from_counts,
+                                            reduce_counts)
 
     cfg = trainer.cfg
     n = ev.num_events(input_file)
     planes = tuple(cfg.data.planes)
     num_class = cfg.model.num_class
     S = cfg.data.image_size
-    P = cfg.data.max_points
+    P = max_points
     scale, clip = cfg.data.normalize_scale, cfg.data.normalize_clip
 
     out_event, out_plane, out_coords = [], [], []
@@ -242,10 +278,9 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
     agg_counts: Dict[str, np.ndarray] = {}
 
     for idxs, events, pscores, counts in _produce_streamed_sparse(
-            trainer, ts, input_file, n, bs_events):
-        for key, v in counts.items():
-            agg_counts[key] = agg_counts.get(key, 0.0) + np.asarray(
-                v, np.float64)
+            trainer, ts, input_file, n, bs_events, P):
+        for key, v in reduce_counts(counts).items():
+            agg_counts[key] = agg_counts.get(key, 0.0) + v
         rows_per_event = len(planes)
         for bi, (eidx, evt) in enumerate(zip(idxs, events)):
             by_id = {p.plane_id: p for p in evt.planes}
@@ -261,22 +296,32 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
                                                     values=v)
                 sc_all = np.asarray(pscores[row, :npt], np.float32)
                 pred_pts = sc_all.argmax(-1)
-                # npz export set == dense path's data_img > 0: in-window
-                # points whose clipped normalized value is positive
-                mask = inwin & (np.clip(v * scale, 0.0, clip) > 0)
-                win = shifted[mask]
-                # dense path emits np.argwhere order = sorted flat index
-                flat = np.zeros(len(win), np.int64)
-                for d in range(win.shape[1] if len(win) else 0):
-                    flat = flat * S + win[:, d]
+                # npz export set == dense path's per-PIXEL view: dedupe
+                # colliding in-window points LAST-WINS (densify scatters in
+                # file order, last assignment sticks), then keep pixels
+                # whose clipped normalized value is positive, in sorted
+                # flat-index (np.argwhere) order.
+                win_all = shifted[inwin]
+                v_in, l_in = v[inwin], l[inwin]
+                sc_in, pr_in = sc_all[inwin], pred_pts[inwin]
+                flat = np.zeros(len(win_all), np.int64)
+                for d in range(win_all.shape[1] if len(win_all) else 0):
+                    flat = flat * S + win_all[:, d]
                 order = np.argsort(flat, kind="stable")
-                out_event.append(np.full(mask.sum(), eidx, np.int32))
-                out_plane.append(np.full(mask.sum(), pid, np.int32))
-                out_coords.append(win[order].astype(np.int32))
-                out_scores.append(sc_all[mask][order])
-                out_pred.append(pred_pts[mask][order].astype(np.int32))
-                out_label.append(l[mask][order].astype(np.int32))
-                n_exported += int(mask.sum())
+                flat_s = flat[order]
+                keep = np.ones(len(flat_s), bool)
+                if len(flat_s):
+                    keep[:-1] = flat_s[1:] != flat_s[:-1]  # last of each run
+                sel = order[keep]
+                m2 = np.clip(v_in[sel] * scale, 0.0, clip) > 0
+                sel = sel[m2]
+                out_event.append(np.full(len(sel), eidx, np.int32))
+                out_plane.append(np.full(len(sel), pid, np.int32))
+                out_coords.append(win_all[sel].astype(np.int32))
+                out_scores.append(sc_in[sel])
+                out_pred.append(pr_in[sel].astype(np.int32))
+                out_label.append(l_in[sel].astype(np.int32))
+                n_exported += int(len(sel))
                 if fmt == "usef":
                     # usef writeback keeps FILE order over in-window points
                     orig = c[inwin].astype(np.int32)
@@ -294,26 +339,10 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
 
     metrics = metrics_from_counts(agg_counts)
     metrics.update(n_events=n, n_pixels=n_exported)
-
-    if fmt == "usef":
-        tmpu = output_file + ".tmp"
-        ev.write_events(tmpu, usef_events, ndims=trainer.cfg.model.dims)
-        os.replace(tmpu, output_file)
-        return metrics
-
-    result = {
-        "event_id": np.concatenate(out_event) if out_event else np.zeros(0, np.int32),
-        "plane_id": np.concatenate(out_plane) if out_plane else np.zeros(0, np.int32),
-        "coords": np.concatenate(out_coords) if out_coords else np.zeros(
-            (0, trainer.cfg.model.dims), np.int32),
-        "scores": np.concatenate(out_scores) if out_scores else np.zeros((0, num_class), np.float32),
-        "pred": np.concatenate(out_pred) if out_pred else np.zeros(0, np.int32),
-        "label": np.concatenate(out_label) if out_label else np.zeros(0, np.int32),
-    }
-    tmp = output_file + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez_compressed(f, **result)
-    os.replace(tmp, output_file)
+    _write_export(output_file, fmt, dims=trainer.cfg.model.dims,
+                  num_class=num_class, usef_events=usef_events,
+                  npz_columns=(out_event, out_plane, out_coords, out_scores,
+                               out_pred, out_label))
     return metrics
 
 
@@ -351,9 +380,9 @@ def run_inference(
     scores at the point coordinates ON DEVICE and reduces metrics to
     confusion counts in-step (~60x less readback — the production TPU ana
     mode); 'auto' (default) picks 'sparse' when streamed. Exports are
-    identical in all modes, with one documented caveat: the sparse wire
-    truncates events to data.max_points (exactly like training), so events
-    exceeding max_points export only their first max_points points.
+    identical in all modes — the ana sparse wire auto-sizes its pad length
+    to the file's largest plane (events.max_plane_points), so inference
+    NEVER truncates events regardless of the training-time data.max_points.
     """
     if fmt not in ("npz", "usef"):
         raise ValueError(f"unknown score export format {fmt!r}")
@@ -364,13 +393,19 @@ def run_inference(
     planes = tuple(cfg.data.planes)
     num_class = cfg.model.num_class
     bs_events = batch_events or max(1, cfg.data.batch_size // len(planes))
+    # pad length covering the file's busiest plane (rounded up to 256 for
+    # TPU-friendly shapes): ana never truncates, unlike the training wire
+    # whose max_points is a fixed-shape knob (round-3 review finding)
+    needed = ev.max_plane_points(input_file)
+    ana_points = max(cfg.data.max_points, ((needed + 255) // 256) * 256)
     if export == "auto":
         export = "sparse" if streamed else "dense"
     if export == "sparse" and not streamed:
         raise ValueError("export='sparse' requires streamed=True")
     if export == "sparse":
         return _run_inference_sparse(trainer, ts, input_file, output_file,
-                                     fmt=fmt, bs_events=bs_events)
+                                     fmt=fmt, bs_events=bs_events,
+                                     max_points=ana_points)
 
     out_event, out_plane, out_coords = [], [], []
     out_scores, out_pred, out_label = [], [], []
@@ -383,7 +418,8 @@ def run_inference(
     conf = np.zeros((num_class, num_class), np.float64)
     n_pix_total = 0
 
-    producer = (_produce_streamed(trainer, ts, input_file, n, bs_events)
+    producer = (_produce_streamed(trainer, ts, input_file, n, bs_events,
+                                  ana_points)
                 if streamed else
                 _produce_host(trainer, ts, input_file, n, bs_events))
     for idxs, events, data_b, label_b, scores in producer:
@@ -444,25 +480,10 @@ def run_inference(
         "n_nonzero": float(n_nonzero)})
     metrics.update(n_events=n, n_pixels=n_nonzero)
 
-    if fmt == "usef":
-        tmpu = output_file + ".tmp"
-        ev.write_events(tmpu, usef_events, ndims=trainer.cfg.model.dims)
-        os.replace(tmpu, output_file)
-        return metrics
-
-    result = {
-        "event_id": np.concatenate(out_event) if out_event else np.zeros(0, np.int32),
-        "plane_id": np.concatenate(out_plane) if out_plane else np.zeros(0, np.int32),
-        "coords": np.concatenate(out_coords) if out_coords else np.zeros(
-            (0, trainer.cfg.model.dims), np.int32),
-        "scores": np.concatenate(out_scores) if out_scores else np.zeros((0, cfg.model.num_class), np.float32),
-        "pred": np.concatenate(out_pred) if out_pred else np.zeros(0, np.int32),
-        "label": np.concatenate(out_label) if out_label else np.zeros(0, np.int32),
-    }
-    tmp = output_file + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez_compressed(f, **result)
-    os.replace(tmp, output_file)
+    _write_export(output_file, fmt, dims=trainer.cfg.model.dims,
+                  num_class=cfg.model.num_class, usef_events=usef_events,
+                  npz_columns=(out_event, out_plane, out_coords, out_scores,
+                               out_pred, out_label))
     return metrics
 
 
@@ -533,7 +554,8 @@ def evaluate_dataset(
                 loader.close()
         return agg
 
-    from uresnet_tpu.engine.metrics import metrics_from_counts
+    from uresnet_tpu.engine.metrics import (metrics_from_counts,
+                                            reduce_counts)
 
     cfgd = trainer.cfg.data
     n_planes = len(cfgd.planes)
@@ -560,10 +582,9 @@ def evaluate_dataset(
             row_valid = (np.arange(epb_local * n_planes) // n_planes
                          < valid_events).astype(np.float32)
             batch["row_valid"] = row_valid
-            counts = jax.device_get(
-                step(ts, trainer._device_batch(batch)))
+            counts = reduce_counts(jax.device_get(
+                step(ts, trainer._device_batch(batch))))
             for key, v in counts.items():
-                v = np.asarray(v, np.float64)
                 agg_counts[key] = agg_counts.get(key, 0.0) + v
     finally:
         loader.stop()

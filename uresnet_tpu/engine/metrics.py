@@ -78,19 +78,40 @@ def segmentation_counts(
     vpix = valid.reshape((-1,) + (1,) * len(spatial))            # (B,1,..)
     one_p = jax.nn.one_hot(pred, num_class, dtype=jnp.float32) * vpix[..., None]
     one_t = jax.nn.one_hot(labels, num_class, dtype=jnp.float32)
-    # (pred, true) confusion sums — one-hot contraction, not gathers
-    conf = jnp.einsum("...c,...d->cd", one_p, one_t)
+    # (pred, true) confusion sums PER ROW — one-hot contraction, not
+    # gathers. Per-row keeps every f32 sum an exact integer (a single row
+    # is < 2^24 pixels even at 192^3 = 7.1M); the cross-row reduction
+    # happens in float64 on the host (`reduce_counts`) so dataset totals
+    # stay exact at any scale (round-3 review finding).
+    conf = jnp.einsum("b...c,b...d->bcd", one_p, one_t)
     nonzero = (jnp.sum(jnp.abs(data), axis=-1) > 0).astype(jnp.float32) * vpix
     correct = (pred == labels).astype(jnp.float32)
     pix_per_row = 1
     for s in pred.shape[1:]:
         pix_per_row *= int(s)
     return {
-        "conf": conf,                                             # (C, C)
+        "conf": conf,                                          # (B, C, C)
         "n_pixels": jnp.sum(valid) * float(pix_per_row),
-        "correct_nonzero": jnp.sum(correct * nonzero),
-        "n_nonzero": jnp.sum(nonzero),
+        "correct_nonzero": jnp.sum(correct * nonzero,
+                                   axis=spatial),              # (B,)
+        "n_nonzero": jnp.sum(nonzero, axis=spatial),           # (B,)
     }
+
+
+def reduce_counts(counts: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Host-side float64 reduction of (possibly per-row) count leaves from
+    `segmentation_counts` (+ any scalar extras like loss sums): conf
+    (B,C,C)->(C,C), per-row vectors -> scalars. Aggregate the returned
+    dicts by plain addition across batches."""
+    out = {}
+    for k, v in counts.items():
+        v = np.asarray(v, np.float64)
+        if k == "conf" and v.ndim == 3:
+            v = v.sum(axis=0)
+        elif k != "conf" and v.ndim >= 1:
+            v = v.sum()
+        out[k] = v
+    return out
 
 
 def metrics_from_counts(counts: Dict[str, Any]) -> Dict[str, float]:
