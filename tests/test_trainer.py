@@ -369,3 +369,21 @@ def test_train_step_file_weights_sparse(tmp_path):
     ts2, m = tr_s.train_step(ts, tr_s._device_batch(
         dict(BatchLoader(mk("sparse").data, num_class=3)._make_batch())))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_fit_with_exact_validation(tmp_path):
+    """cfg.train.val_exact: the in-loop validation runs the exactly-once
+    full-dataset pass (dataset-global mIoU with n_events/n_pixels
+    witnesses) instead of sampling batches."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, val_iter=4,
+                                       val_exact=True))
+    tr = Trainer(cfg, mesh=make_mesh(1))
+    ts, _ = tr.fit(iterations=4, log=False)
+    vm = tr.validate(ts)
+    assert vm["n_events"] == 16              # the whole held-out set, once
+    assert vm["n_pixels"] == 16 * 32 * 32
+    assert np.isfinite(vm["miou"])

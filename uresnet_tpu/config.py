@@ -109,6 +109,11 @@ class TrainConfig:
     checkpoint_iter: int = 200
     val_iter: int = 100
     val_batches: int = 8             # batches per in-loop validation pass
+    val_exact: bool = False          # in-loop validation runs the
+                                     # exactly-once full-dataset pass
+                                     # (dataset-global confusion mIoU,
+                                     # engine/evaluator.evaluate_dataset)
+                                     # instead of sampling val_batches
     checkpoint_dir: str = "ckpt"
     log_dir: str = "log"
     load_file: str = ""              # checkpoint path to restore

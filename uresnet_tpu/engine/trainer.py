@@ -528,6 +528,14 @@ class Trainer:
         return ts, last
 
     def validate(self, ts: TrainState, *, num_batches: int = 8) -> Dict[str, float]:
+        """In-loop validation: sampled per-batch means by default; with
+        cfg.train.val_exact, the exactly-once full-dataset pass (the same
+        machinery as the mIoU parity gate — well-defined dataset metrics,
+        every held-out event counted once)."""
+        if self.cfg.train.val_exact:
+            from uresnet_tpu.engine.evaluator import evaluate_dataset
+
+            return evaluate_dataset(self, ts)
         if self.val_loader is None:
             self.val_loader = self.make_loader(train=False)
         agg: Dict[str, float] = {}
