@@ -369,3 +369,33 @@ def test_stack_batches_finite_iterator_ends_cleanly():
     groups = list(stack_batches(src, 2))
     assert len(groups) == 2                  # partial trailing group dropped
     assert groups[1]["cursor"] == 3
+
+
+def test_max_plane_points_scans_and_filters(tmp_path, rng):
+    """max_plane_points: metadata-only scan handles v1 AND v2 layouts, and
+    the planes filter keeps an unselected busy plane from inflating the
+    ana pad (round-3 review finding)."""
+    from uresnet_tpu.data.events import max_plane_points
+
+    def plane(pid, n):
+        return SparsePlane(
+            plane_id=pid, shape=(128, 128),
+            coords=rng.integers(0, 128, (n, 2)).astype(np.int32),
+            values=rng.uniform(1, 5, n).astype(np.float32),
+            labels=np.zeros(n, np.uint8))
+
+    events = [SparseEvent([plane(0, 40), plane(1, 900)]),
+              SparseEvent([plane(0, 70), plane(1, 10)])]
+    p1 = str(tmp_path / "v1.usef")
+    write_events(p1, events, ndims=2)
+    assert max_plane_points(p1) == 900
+    assert max_plane_points(p1, planes=(0,)) == 70
+    assert max_plane_points(p1, planes=(1,)) == 900
+    # v2 layout (stored weights change the record framing)
+    for evt in events:
+        for pl in evt.planes:
+            pl.weights = np.ones(len(pl.values), np.float32)
+    p2 = str(tmp_path / "v2.usef")
+    write_events(p2, events, ndims=2)
+    assert max_plane_points(p2, planes=(0,)) == 70
+    assert max_plane_points(p2) == 900

@@ -257,3 +257,33 @@ def test_device_densify_file_weights_augment_and_packed():
         pack_like_logits(np.asarray(plain["weight"])[..., None], mcfg))
     np.testing.assert_array_equal(gotp["weight"],
                                   want_w.reshape(gotp["weight"].shape))
+
+
+def test_device_scatter_duplicate_coords_match_host_last_wins():
+    """Colliding points: numpy fancy-assignment is last-wins by contract;
+    the device .at[].set(mode='drop') scatter's duplicate order is
+    implementation-defined in JAX — this test PINS that it currently
+    matches (and the round-3 sparse-export dedupe relies on it). If a JAX
+    upgrade changes scatter ordering, this fails loudly instead of the
+    export paths silently diverging."""
+    from uresnet_tpu.data.events import SparseEvent, SparsePlane
+
+    pl = SparsePlane(
+        plane_id=0, shape=(64, 64),
+        coords=np.array([[10, 10], [12, 12], [10, 10], [20, 20],
+                         [20, 20]], np.int32),
+        values=np.array([5.0, 7.0, 9.0, 3.0, 0.0], np.float32),
+        labels=np.array([1, 2, 2, 1, 2], np.uint8))
+    evt = SparseEvent([pl])
+    want = densify_batch([evt], image_size=64, planes=(0,),
+                         weight_mode="ones", num_class=3)
+    sp = sparse_batch([evt], planes=(0,), max_points=64)
+    got = jax.device_get(densify_on_device(sp, image_size=64,
+                                           weight_mode="ones"))
+    np.testing.assert_array_equal(got["label"], want["label"])
+    np.testing.assert_array_equal(got["data"], want["data"])
+    # explicit last-wins witnesses
+    assert want["data"][0, 10, 10, 0] == np.float32(9.0) * np.float32(0.01)
+    assert want["label"][0, 10, 10] == 2
+    assert want["data"][0, 20, 20, 0] == 0.0   # zero-value point wins last
+    assert want["label"][0, 20, 20] == 2

@@ -148,21 +148,27 @@ def num_events(path: str) -> int:
     return len(read_header(path)[2])
 
 
-def max_plane_points(path: str) -> int:
+def max_plane_points(path: str,
+                     planes: Sequence[int] | None = None) -> int:
     """Largest per-plane point count in the file (metadata-only scan — one
-    seek per plane, payloads skipped). The inference path sizes its sparse
-    pad length from this so ana NEVER truncates events, whatever
-    data.max_points the training wire uses (engine/evaluator.py)."""
+    seek per plane, payloads skipped), optionally restricted to the given
+    plane ids (an unselected busy plane must not inflate the pad). The
+    inference path sizes its sparse pad length from this so ana NEVER
+    truncates events, whatever data.max_points the training wire uses
+    (engine/evaluator.py)."""
     version, ndims, offsets = read_header(path)
+    sel = None if planes is None else set(planes)
     m = 0
     with open(path, "rb") as f:
         for off in offsets:
             f.seek(int(off))
             (n_planes,) = struct.unpack("<I", f.read(4))
             for _ in range(n_planes):
-                f.seek(4 + 4 * ndims, 1)            # plane_id + shape
+                (plane_id,) = struct.unpack("<I", f.read(4))
+                f.seek(4 * ndims, 1)                # shape
                 (n,) = struct.unpack("<I", f.read(4))
-                m = max(m, n)
+                if sel is None or plane_id in sel:
+                    m = max(m, n)
                 f.seek(n * (4 * ndims + 4 + 1), 1)  # coords+values+labels
                 if version >= 2:
                     (has_w,) = struct.unpack("<B", f.read(1))

@@ -86,8 +86,11 @@ def _make_ana_step(trainer: Trainer):
         return {"data": dense["data"], "label": dense["label"],
                 "scores": jax.nn.softmax(logits, axis=-1)}
 
-    return jax.jit(step, in_shardings=(trainer._rep, None),
-                   out_shardings=trainer._bsh_data_only)
+    if "ana_step" not in trainer._compiled:  # one executable per trainer
+        trainer._compiled["ana_step"] = jax.jit(
+            step, in_shardings=(trainer._rep, None),
+            out_shardings=trainer._bsh_data_only)
+    return trainer._compiled["ana_step"]
 
 
 def _produce_host(trainer, ts, input_file, n, bs_events):
@@ -194,8 +197,11 @@ def _make_ana_step_sparse(trainer: Trainer):
                                    image_size=d.image_size)
         return {"pscores": pscores, **counts}
 
-    return jax.jit(step, in_shardings=(trainer._rep, None),
-                   out_shardings=trainer._rep)
+    if "ana_step_sparse" not in trainer._compiled:
+        trainer._compiled["ana_step_sparse"] = jax.jit(
+            step, in_shardings=(trainer._rep, None),
+            out_shardings=trainer._rep)
+    return trainer._compiled["ana_step_sparse"]
 
 
 def _produce_streamed_sparse(trainer, ts, input_file, n, bs_events,
@@ -258,8 +264,6 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
     byte-identical export using the same crop window math
     (pipeline.crop_or_pad_coords == device _crop_window, pinned bit-level
     in tests/test_device_pipeline.py)."""
-    import os
-
     from uresnet_tpu.engine.metrics import (metrics_from_counts,
                                             reduce_counts)
 
@@ -288,7 +292,9 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
             for pi, pid in enumerate(planes):
                 row = bi * rows_per_event + pi
                 pl = by_id[pid]
-                npt = min(len(pl.values), P)   # sparse-wire truncation
+                # P >= max_plane_points(selected planes), so this is always
+                # the full point list — the min() only guards hand-passed P
+                npt = min(len(pl.values), P)
                 c = pl.coords[:npt]
                 v = pl.values[:npt]
                 l = pl.labels[:npt]
@@ -393,15 +399,17 @@ def run_inference(
     planes = tuple(cfg.data.planes)
     num_class = cfg.model.num_class
     bs_events = batch_events or max(1, cfg.data.batch_size // len(planes))
-    # pad length covering the file's busiest plane (rounded up to 256 for
-    # TPU-friendly shapes): ana never truncates, unlike the training wire
-    # whose max_points is a fixed-shape knob (round-3 review finding)
-    needed = ev.max_plane_points(input_file)
-    ana_points = max(cfg.data.max_points, ((needed + 255) // 256) * 256)
     if export == "auto":
         export = "sparse" if streamed else "dense"
     if export == "sparse" and not streamed:
         raise ValueError("export='sparse' requires streamed=True")
+    if streamed:
+        # pad length covering the busiest SELECTED plane (rounded up to 256
+        # for TPU-friendly shapes): ana never truncates, unlike the
+        # training wire whose max_points is a fixed-shape knob. Host path
+        # densifies whole events and needs no scan (round-3 review).
+        needed = ev.max_plane_points(input_file, planes)
+        ana_points = max(cfg.data.max_points, ((needed + 255) // 256) * 256)
     if export == "sparse":
         return _run_inference_sparse(trainer, ts, input_file, output_file,
                                      fmt=fmt, bs_events=bs_events,
@@ -513,8 +521,14 @@ def _make_count_step(trainer: Trainer):
         counts["weight_sum"] = jnp.sum(w)
         return counts
 
-    return jax.jit(step, in_shardings=(trainer._rep, None),
-                   out_shardings=trainer._rep)
+    # cache on the trainer's compiled-fn dict: repeated exact validation
+    # (train.val_exact) must reuse ONE executable, not retrace per call
+    # (a relay compile costs minutes — round-3 review finding)
+    if "count_step" not in trainer._compiled:
+        trainer._compiled["count_step"] = jax.jit(
+            step, in_shardings=(trainer._rep, None),
+            out_shardings=trainer._rep)
+    return trainer._compiled["count_step"]
 
 
 def evaluate_dataset(
