@@ -41,6 +41,21 @@ def test_usef_random_access(tmp_path, rng):
                                   events[1].planes[0].values)
 
 
+def test_usef_truncated_index_raises(tmp_path, rng):
+    """An index truncated at an 8-byte boundary must raise, not silently
+    present as a shorter valid-looking file (the C++ reader already fails
+    loudly on the same short read)."""
+    events = [_event(rng) for _ in range(4)]
+    path = str(tmp_path / "t.usef")
+    write_events(path, events, ndims=2)
+    data = open(path, "rb").read()
+    trunc = str(tmp_path / "trunc.usef")
+    with open(trunc, "wb") as f:
+        f.write(data[:4 + 16 + 8 * 2])  # magic+header, 2 of 4 offsets
+    with pytest.raises(ValueError, match="truncated USEF index"):
+        num_events(trunc)
+
+
 def test_crop_or_pad_centers_charge():
     coords = np.array([[100, 100], [101, 102]], np.int32)
     shifted, mask = crop_or_pad_coords(coords, (512, 512), 64)
@@ -232,6 +247,42 @@ def test_loader_stop_start_resumes_deterministically(tmp_path):
     ld.stop()
     ld.start(2)                                    # restart mid-stream
     got += [ld.next() for _ in range(3)]
+    ld.stop()
+    for w, g in zip(want, got):
+        assert w["cursor"] == g["cursor"]
+        np.testing.assert_array_equal(w["values"], g["values"])
+
+
+def test_loader_straggler_cannot_claim_while_stopped(tmp_path):
+    """A worker that outlives stop()'s bounded join and resumes AFTER the
+    rewind must not be issued a ticket: it would take ticket 0 of the NEW
+    generation, then discard its batch on the _stop check — a permanent
+    hole at ticket 0 that deadlocks next() after restart (round-3 review
+    finding). _claim() must refuse while stopped; the post-restart stream
+    must still be exact."""
+    import dataclasses
+    from uresnet_tpu.config import DataConfig
+    from uresnet_tpu.data.loader import BatchLoader, resolve_input_files
+
+    cfg = DataConfig(image_size=32, batch_size=2, planes=(0,),
+                     synthetic=True, synthetic_events=8, seed=3,
+                     num_threads=2, random_access=True, transfer="sparse",
+                     max_points=256)
+    cfg = dataclasses.replace(cfg, input_files=tuple(resolve_input_files(cfg, 2)))
+
+    ref = BatchLoader(cfg, num_class=3, train=True, ndims=2)
+    want = [ref._make_batch() for _ in range(4)]   # synchronous oracle
+
+    ld = BatchLoader(cfg, num_class=3, train=True, ndims=2)
+    ld.start(2)
+    got = [ld.next() for _ in range(2)]
+    ld.stop()
+    # The straggler's next act after stop()+rewind is a claim. It must be
+    # refused — NOT handed ticket 0 of the restarted stream.
+    assert ld._claim() is None
+    assert ld._next_ticket == 0 and ld._next_consume == 0
+    ld.start(2)                                    # restart: no hole at 0
+    got += [ld.next() for _ in range(2)]
     ld.stop()
     for w, g in zip(want, got):
         assert w["cursor"] == g["cursor"]

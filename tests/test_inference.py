@@ -50,6 +50,50 @@ def test_run_inference_score_export(setup):
     np.testing.assert_array_equal(z["pred"], z["scores"].argmax(1))
 
 
+def test_run_inference_empty_file(setup, tmp_path):
+    """A valid 0-event USEF file must produce an empty export and zeroed
+    metrics, not a loader construction error (round-3 review finding —
+    the streamed default cannot build a loader over an empty file)."""
+    from uresnet_tpu.data import events as ev
+
+    trainer, ts, _, _ = setup
+    path = str(tmp_path / "empty.usef")
+    ev.write_events(path, [], ndims=2)
+    for fmt in ("npz", "usef"):
+        out = str(tmp_path / f"empty_out.{fmt}")
+        stats = run_inference(trainer, ts, path, out, fmt=fmt)
+        assert stats["n_events"] == 0 and stats["n_pixels"] == 0
+        assert stats["acc_all"] == 0.0 and stats["miou"] == 1.0
+        if fmt == "npz":
+            z = np.load(out)
+            assert len(z["event_id"]) == 0 and z["scores"].shape == (0, 3)
+        else:
+            assert ev.num_events(out) == 0
+
+
+def test_run_inference_rejects_out_of_range_labels(setup, tmp_path):
+    """Labels >= model.num_class must fail LOUDLY (and identically) in both
+    export modes instead of an opaque bincount/reshape error (dense) or a
+    silent one_hot drop (sparse) — round-3 review finding."""
+    from uresnet_tpu.data import events as ev
+
+    trainer, ts, _, _ = setup
+    bad = str(tmp_path / "bad.usef")
+    planes = []
+    for pid in (0, 1):
+        planes.append(ev.SparsePlane(
+            plane_id=pid, shape=(128, 128),
+            coords=np.array([[5, 5], [6, 7]], np.int32),
+            values=np.array([1.0, 2.0], np.float32),
+            labels=np.array([1, 7], np.uint8)))  # 7 >= num_class=3
+    ev.write_events(bad, [ev.SparseEvent(planes=planes)] * 2, ndims=2)
+    for export in ("sparse", "dense"):
+        with pytest.raises(ValueError, match="num_class"):
+            run_inference(trainer, ts, bad,
+                          str(tmp_path / f"bad_out_{export}.npz"),
+                          export=export)
+
+
 def test_run_inference_usef_writeback(setup):
     """Reference-style score-map writeback (SURVEY.md §3.2): per-class score
     planes in USEF format, round-trippable through data/events.py, scores in

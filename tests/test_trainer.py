@@ -38,6 +38,21 @@ def fixed_batch(key, cfg):
             "weight": jnp.ones((B, S, S), jnp.float32)}
 
 
+def test_cfg_swap_invalidates_compiled_cache(tmp_path):
+    """Compiled executables bake cfg constants at first trace; replacing
+    trainer.cfg must drop them so a same-shape call retraces with the new
+    constants instead of silently reusing stale ones (round-3 review)."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path)
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    trainer._compiled["sentinel"] = object()
+    trainer.cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, normalize_scale=2.0))
+    assert trainer._compiled == {}
+    assert trainer.cfg.data.normalize_scale == 2.0
+
+
 def test_adam_decreases_quadratic():
     params = {"w": jnp.asarray([5.0, -3.0])}
     opt = adam_init(params)

@@ -57,18 +57,23 @@ def main(argv=None):
     else:
         cfg = apply_overrides(Config(), overrides)
 
+    metrics_mode = args.metrics_only or not args.input
+    if metrics_mode and args.input:
+        # evaluate THE GIVEN held-out file exactly once (parity gate).
+        # The cfg swap happens BEFORE the Trainer exists: Trainer caches
+        # compiled executables that bake cfg constants at first trace, so
+        # cfg must never be replaced on a live trainer (round-3 review).
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(
+                cfg.data, input_files=(args.input,), synthetic=False))
+
     trainer = Trainer(cfg)  # mesh derived from cfg.parallel
     ts, step, _ = trainer.restore(args.checkpoint)
     print(f"restored step {step}", flush=True)
 
-    if args.metrics_only or not args.input:
-        if args.input:
-            # evaluate THE GIVEN held-out file exactly once (parity gate)
-            import dataclasses
-
-            trainer.cfg = dataclasses.replace(
-                cfg, data=dataclasses.replace(
-                    cfg.data, input_files=(args.input,), synthetic=False))
+    if metrics_mode:
         m = evaluate_dataset(trainer, ts)
         print("metrics:", {k: round(v, 5) for k, v in m.items()}, flush=True)
     else:

@@ -111,6 +111,12 @@ def read_header(path: str) -> Tuple[int, int, np.ndarray]:
         if version not in _READABLE:
             raise ValueError(f"{path}: unsupported USEF version {version}")
         offsets = np.frombuffer(f.read(8 * n), np.uint64)
+        if len(offsets) != n:
+            # an index truncated at an 8-byte boundary would otherwise
+            # silently present as a shorter (valid-looking) file
+            raise ValueError(
+                f"{path}: truncated USEF index ({len(offsets)} of {n} "
+                f"event offsets)")
     return version, ndims, offsets
 
 

@@ -224,8 +224,16 @@ class BatchLoader:
         return self._index[order[within]]
 
     def _claim(self):
-        """Atomically claim the next (ticket, start position, generation)."""
+        """Atomically claim the next (ticket, start position, generation).
+
+        Returns None while the loader is stopped: a worker that outlived
+        stop()'s bounded join and resumed AFTER the rewind must not claim —
+        it would take ticket 0 of the NEW generation, advance the cursor,
+        then discard its batch on the `_stop` check below, leaving a
+        permanent hole at ticket 0 that deadlocks next() after restart."""
         with self._cond:
+            if self._stop.is_set():
+                return None
             ticket = self._next_ticket
             self._next_ticket += 1
             start = self._cursor
@@ -279,7 +287,10 @@ class BatchLoader:
 
     def _worker(self):
         while not self._stop.is_set():
-            ticket, start, gen = self._claim()
+            claimed = self._claim()
+            if claimed is None:  # stop() landed between the loop check and
+                return           # the claim — exit without taking a ticket
+            ticket, start, gen = claimed
             try:
                 b = self._build_batch(start)
             except BaseException as e:  # surface in consumer

@@ -112,53 +112,69 @@ def _produce_host(trainer, ts, input_file, n, bs_events):
             num_class=cfg.model.num_class,
         )
         scores = np.asarray(trainer.forward(ts, batch["data"]))
-        yield idxs, events, batch["data"], batch["label"], scores
+        yield idxs, events, {"data": batch["data"], "label": batch["label"],
+                             "scores": scores}
 
 
 def _produce_streamed(trainer, ts, input_file, n, bs_events,
-                      max_points):
+                      max_points, *, sparse_export=False):
     """Streamed producer: threaded loader (C++ decoder when built) ->
-    sparse transfer -> device densify fused with the forward -> one-deep
-    readback pipeline, so decode/transfer/compute overlap while the export
-    of batch k-1 runs on the host."""
+    sparse transfer -> device densify fused with the forward -> a
+    prefetch_depth-deep readback pipeline, so decode/transfer/compute
+    overlap while the export of earlier batches runs on the host.
+
+    Yields (idxs, events, out) with `out` the host copy of the ana step
+    result: dense mode {'data','label','scores'} (_make_ana_step);
+    ``sparse_export=True`` switches to the sparse wire + per-point step
+    (_make_ana_step_sparse), masks the wrapped tail rows of the final
+    batch out of the on-device confusion counts via 'row_valid', and
+    yields {'pscores', <confusion counts>}. ONE producer serves both modes
+    so the pipeline-depth/teardown logic cannot diverge (round-3 review)."""
+    import collections
     import dataclasses
 
     from uresnet_tpu.data.loader import device_prefetch, make_batch_loader
 
     cfg = trainer.cfg
+    n_planes = len(cfg.data.planes)
     dcfg = dataclasses.replace(
         cfg.data, input_files=(input_file,), synthetic=False,
         random_access=False, weight_mode="ones", max_points=max_points,
-        batch_size=bs_events * len(cfg.data.planes))
+        batch_size=bs_events * n_planes,
+        **({"transfer": "sparse"} if sparse_export else {}))
     loader = make_batch_loader(dcfg, num_class=cfg.model.num_class,
                                train=False, ndims=cfg.model.dims)
     loader.start()
-    step = _make_ana_step(trainer)
+    step = (_make_ana_step_sparse(trainer) if sparse_export
+            else _make_ana_step(trainer))
     n_batches = -(-n // bs_events)
     try:
-        import collections
-
         it = device_prefetch(iter(loader), sharding=trainer._leaf_sharding,
                              depth=cfg.data.prefetch_depth)
         # keep prefetch_depth dispatches in flight so the per-batch
         # device->host readback round-trips overlap (the relay link has
         # O(100ms) latency per sync — see benchmarks/RESULTS.md)
         pending = collections.deque()
+
+        def drain():
+            p_idxs, p_events, p_out = pending.popleft()
+            return p_idxs, p_events, jax.device_get(p_out)
+
         for k in range(n_batches):
             batch = next(it)
             batch.pop("cursor", None)
-            out = step(ts, batch)              # async dispatch
             idxs = list(range(k * bs_events, min((k + 1) * bs_events, n)))
+            if sparse_export:
+                batch["row_valid"] = jax.device_put(
+                    (np.arange(bs_events * n_planes) // n_planes
+                     < len(idxs)).astype(np.float32))
+            out = step(ts, batch)              # async dispatch
             events = ev.read_events(input_file, idxs)
             pending.append((idxs, events, out))
             if len(pending) > max(1, cfg.data.prefetch_depth):
-                p_idxs, p_events, p_out = pending.popleft()
-                p = jax.device_get(p_out)
-                yield (p_idxs, p_events, p["data"], p["label"], p["scores"])
+                yield drain()
         while pending:
-            p_idxs, p_events, p_out = pending.popleft()
-            p = jax.device_get(p_out)
-            yield (p_idxs, p_events, p["data"], p["label"], p["scores"])
+            yield drain()
     finally:
         loader.stop()
         if hasattr(loader, "close"):
@@ -204,58 +220,6 @@ def _make_ana_step_sparse(trainer: Trainer):
     return trainer._compiled["ana_step_sparse"]
 
 
-def _produce_streamed_sparse(trainer, ts, input_file, n, bs_events,
-                             max_points):
-    """Sparse-export producer: yields (idxs, events, pscores (B,P,C) np,
-    counts) per batch, with the wrapped tail rows masked out of the counts.
-    Decode/transfer/forward overlap exactly as in `_produce_streamed`."""
-    import dataclasses
-
-    from uresnet_tpu.data.loader import device_prefetch, make_batch_loader
-
-    cfg = trainer.cfg
-    n_planes = len(cfg.data.planes)
-    dcfg = dataclasses.replace(
-        cfg.data, input_files=(input_file,), synthetic=False,
-        random_access=False, weight_mode="ones", transfer="sparse",
-        max_points=max_points, batch_size=bs_events * n_planes)
-    loader = make_batch_loader(dcfg, num_class=cfg.model.num_class,
-                               train=False, ndims=cfg.model.dims)
-    loader.start()
-    step = _make_ana_step_sparse(trainer)
-    n_batches = -(-n // bs_events)
-    try:
-        import collections
-
-        it = device_prefetch(iter(loader), sharding=trainer._leaf_sharding,
-                             depth=cfg.data.prefetch_depth)
-        # prefetch_depth dispatches in flight (see _produce_streamed)
-        pending = collections.deque()
-        for k in range(n_batches):
-            batch = next(it)
-            batch.pop("cursor", None)
-            idxs = list(range(k * bs_events, min((k + 1) * bs_events, n)))
-            valid_events = len(idxs)
-            batch["row_valid"] = jax.device_put(
-                (np.arange(bs_events * n_planes) // n_planes
-                 < valid_events).astype(np.float32))
-            out = step(ts, batch)              # async dispatch
-            events = ev.read_events(input_file, idxs)
-            pending.append((idxs, events, out))
-            if len(pending) > max(1, cfg.data.prefetch_depth):
-                p_idxs, p_events, p_out = pending.popleft()
-                p = jax.device_get(p_out)
-                yield (p_idxs, p_events, p.pop("pscores"), p)
-        while pending:
-            p_idxs, p_events, p_out = pending.popleft()
-            p = jax.device_get(p_out)
-            yield (p_idxs, p_events, p.pop("pscores"), p)
-    finally:
-        loader.stop()
-        if hasattr(loader, "close"):
-            loader.close()
-
-
 def _run_inference_sparse(trainer, ts, input_file, output_file, *,
                           fmt, bs_events,
                           max_points) -> Dict[str, float]:
@@ -281,9 +245,10 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
     n_exported = 0
     agg_counts: Dict[str, np.ndarray] = {}
 
-    for idxs, events, pscores, counts in _produce_streamed_sparse(
-            trainer, ts, input_file, n, bs_events, P):
-        for key, v in reduce_counts(counts).items():
+    for idxs, events, out in _produce_streamed(
+            trainer, ts, input_file, n, bs_events, P, sparse_export=True):
+        pscores = out.pop("pscores")
+        for key, v in reduce_counts(out).items():
             agg_counts[key] = agg_counts.get(key, 0.0) + v
         rows_per_event = len(planes)
         for bi, (eidx, evt) in enumerate(zip(idxs, events)):
@@ -298,6 +263,11 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
                 c = pl.coords[:npt]
                 v = pl.values[:npt]
                 l = pl.labels[:npt]
+                if len(l) and int(l.max()) >= num_class:
+                    raise ValueError(
+                        f"label {int(l.max())} >= model.num_class="
+                        f"{num_class} in event {eidx} plane {pid} of "
+                        f"{input_file!r} — wrong num_class or corrupt file")
                 shifted, inwin = crop_or_pad_coords(c, pl.shape, S,
                                                     values=v)
                 sc_all = np.asarray(pscores[row, :npt], np.float32)
@@ -403,6 +373,20 @@ def run_inference(
         export = "sparse" if streamed else "dense"
     if export == "sparse" and not streamed:
         raise ValueError("export='sparse' requires streamed=True")
+    if n == 0:
+        # a valid 0-event file: write the empty export and return zeroed
+        # metrics — the streamed producers cannot build a loader over an
+        # empty file (round-3 review finding)
+        from uresnet_tpu.engine.metrics import metrics_from_counts
+
+        metrics = metrics_from_counts({
+            "conf": np.zeros((num_class, num_class), np.float64),
+            "n_pixels": 0.0, "correct_nonzero": 0.0, "n_nonzero": 0.0})
+        metrics.update(n_events=0, n_pixels=0)
+        _write_export(output_file, fmt, dims=cfg.model.dims,
+                      num_class=num_class, usef_events=[],
+                      npz_columns=([], [], [], [], [], []))
+        return metrics
     if streamed:
         # pad length covering the busiest SELECTED plane (rounded up to 256
         # for TPU-friendly shapes): ana never truncates, unlike the
@@ -430,10 +414,10 @@ def run_inference(
                                   ana_points)
                 if streamed else
                 _produce_host(trainer, ts, input_file, n, bs_events))
-    for idxs, events, data_b, label_b, scores in producer:
-        scores = np.asarray(scores)
-        data_b = np.asarray(data_b)
-        label_b = np.asarray(label_b)
+    for idxs, events, out in producer:
+        scores = np.asarray(out["scores"])
+        data_b = np.asarray(out["data"])
+        label_b = np.asarray(out["label"])
         pred = scores.argmax(-1)
         rows_per_event = len(planes)
         for bi, (eidx, evt) in enumerate(zip(idxs, events)):
@@ -453,6 +437,15 @@ def run_inference(
                 out_label.append(label_img[mask].astype(np.int32))
                 n_correct_nonzero += int((pred[row][mask] == label_img[mask]).sum())
                 n_nonzero += int(mask.sum())
+                lmax = int(label_img.max()) if label_img.size else 0
+                if lmax >= num_class:
+                    # fail loudly (same check as the sparse-export path):
+                    # an out-of-range label would otherwise surface as an
+                    # opaque bincount/reshape error below
+                    raise ValueError(
+                        f"label {lmax} >= model.num_class={num_class} in "
+                        f"event {eidx} plane {pid} of {input_file!r} — "
+                        f"wrong num_class or corrupt file")
                 conf += np.bincount(
                     (pred[row].astype(np.int64) * num_class
                      + label_img.astype(np.int64)).ravel(),

@@ -96,6 +96,22 @@ class Trainer:
         self.loader: Optional[BatchLoader] = None
         self.val_loader: Optional[BatchLoader] = None
 
+    @property
+    def cfg(self) -> Config:
+        return self._cfg
+
+    @cfg.setter
+    def cfg(self, new: Config):
+        # Compiled executables bake cfg constants (normalize scale/clip,
+        # num_class, ...) at first trace and are keyed by name+shape only —
+        # swapping the config on a live trainer must invalidate them, or a
+        # same-shape call silently reuses stale constants (round-3 review).
+        # Mesh/shardings are still fixed at __init__: don't change
+        # cfg.parallel on a live trainer, build a new one.
+        self._cfg = new
+        if getattr(self, "_compiled", None):
+            self._compiled.clear()
+
     _IMAGE_KEYS = ("data", "label", "weight")
 
     def _leaf_sharding(self, key: str):
@@ -418,8 +434,15 @@ class Trainer:
         if path is None:
             path = ckpt.latest_checkpoint(self.cfg.train.checkpoint_dir)
         if path is None:
+            hint = ""
+            if jax.process_count() > 1:
+                # multi-host runs save from process 0 only; a host-local
+                # checkpoint_dir therefore breaks resume on the other hosts
+                hint = (" — multi-host runs write checkpoints from process 0"
+                        " only, so train.checkpoint_dir must be on a"
+                        " filesystem shared by all hosts")
             raise FileNotFoundError(
-                f"no checkpoint in {self.cfg.train.checkpoint_dir!r}")
+                f"no checkpoint in {self.cfg.train.checkpoint_dir!r}{hint}")
         template = {"train_state": jax.device_get(self.init_state()),
                     "meta": {"step": np.int64(0), "data_cursor": np.int64(0)}}
         tree = ckpt.load_checkpoint(path, template)
