@@ -24,6 +24,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <mutex>
 #include <random>
 #include <stdexcept>
@@ -76,12 +77,16 @@ struct FileInfo {
 
 struct Reader {
   FILE* f = nullptr;
+  uint64_t size = 0;  // file byte size: upper bound for count sanity checks
   ~Reader() {
     if (f) fclose(f);
   }
   bool open(const std::string& path) {
     f = fopen(path.c_str(), "rb");
-    return f != nullptr;
+    if (!f) return false;
+    if (fseeko(f, 0, SEEK_END) != 0) return false;
+    size = (uint64_t)ftello(f);
+    return fseeko(f, 0, SEEK_SET) == 0;
   }
   bool read(void* dst, size_t n) { return fread(dst, 1, n, f) == n; }
   bool seek(uint64_t off) { return fseeko(f, (off_t)off, SEEK_SET) == 0; }
@@ -95,7 +100,13 @@ bool read_header(const std::string& path, FileInfo* info) {
   if (!r.read(&magic, 4) || magic != kMagic) return false;
   if (!r.read(&version, 4) || (version != 1 && version != 2)) return false;
   if (!r.read(&ndims, 4)) return false;
+  if (ndims < 1 || ndims > 8) return false;  // corrupt dimensionality
   if (!r.read(&n, 8)) return false;
+  // Bound counts by the file size BEFORE resize: a corrupt header with
+  // n ~ 2^64 would otherwise attempt a huge allocation and abort via
+  // std::bad_alloc instead of the loud error-return contract. The index
+  // alone needs 8 bytes per event past the 20-byte header.
+  if (r.size < 20 || n > (r.size - 20) / 8) return false;
   info->path = path;
   info->version = version;
   info->ndims = ndims;
@@ -119,6 +130,9 @@ bool read_event(Reader& r, uint64_t offset, uint32_t version, uint32_t ndims,
   if (!r.seek(offset)) return false;
   uint32_t num_planes;
   if (!r.read(&num_planes, 4)) return false;
+  // Size-bound corrupt counts before resize (see read_header): a plane
+  // record occupies >= 12 bytes, a point >= 4*ndims + 5 bytes.
+  if (num_planes > r.size / 12) return false;
   planes->clear();
   planes->resize(num_planes);
   for (auto& pl : *planes) {
@@ -127,6 +141,7 @@ bool read_event(Reader& r, uint64_t offset, uint32_t version, uint32_t ndims,
     if (!r.read(pl.shape.data(), 4 * ndims)) return false;
     uint32_t n;
     if (!r.read(&n, 4)) return false;
+    if ((uint64_t)n > r.size / (4 * (uint64_t)ndims + 5)) return false;
     pl.coords.resize((size_t)n * ndims);
     pl.values.resize(n);
     pl.labels.resize(n);
@@ -337,7 +352,14 @@ struct urd_handle {
   urd_config cfg;
   std::vector<FileInfo> files;
   std::vector<EventRef> index;
-  std::vector<uint32_t> order;  // permutation over index
+  // epoch -> permutation over index. A small CACHE (mirrors the Python
+  // loader's _orders dict): workers filling tickets that straddle an epoch
+  // boundary alternate epochs per event, and a single rewritten buffer
+  // would re-run the O(N) identity fill + Fisher-Yates under the mutex on
+  // every alternation — serializing all producers on large datasets
+  // (round-3 review). Entries older than 3 epochs are evicted
+  // (regenerable: pure function of seed + epoch).
+  std::map<uint64_t, std::vector<uint32_t>> orders;
   int events_per_batch = 1;
   int64_t pix_per_image = 1;
 
@@ -373,28 +395,26 @@ struct urd_handle {
   bool stopping = false;
   std::string error;
   std::vector<std::thread> workers;
-  uint64_t epoch = 0;  // epoch of the current `order`
 
   int64_t n_events() const { return (int64_t)index.size(); }
 
-  void reshuffle_for_epoch(uint64_t ep) {
-    // deterministic given (seed, epoch); stream shared with the Python
-    // loader (see SplitMix64 above)
-    if (!cfg.random_access) return;
-    SplitMix64 rng(cfg.seed + 0x9e3779b97f4a7c15ull * (ep + 1));
-    for (size_t i = order.size(); i > 1; --i) {
-      size_t j = (size_t)(rng.next() % i);
-      std::swap(order[i - 1], order[j]);
+  // Must be called with `mu` held. Deterministic given (seed, epoch);
+  // stream shared with the Python loader (see SplitMix64 above).
+  const std::vector<uint32_t>& order_for(uint64_t ep) {
+    auto it = orders.find(ep);
+    if (it != orders.end()) return it->second;
+    std::vector<uint32_t> order(index.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = (uint32_t)i;
+    if (cfg.random_access) {
+      SplitMix64 rng(cfg.seed + 0x9e3779b97f4a7c15ull * (ep + 1));
+      for (size_t i = order.size(); i > 1; --i) {
+        size_t j = (size_t)(rng.next() % i);
+        std::swap(order[i - 1], order[j]);
+      }
     }
-  }
-
-  void ensure_epoch(uint64_t ep) {
-    if (ep != epoch) {
-      // regenerate identity then shuffle for target epoch
-      for (size_t i = 0; i < order.size(); ++i) order[i] = (uint32_t)i;
-      reshuffle_for_epoch(ep);
-      epoch = ep;
-    }
+    for (auto jt = orders.begin(); jt != orders.end();)
+      jt = (jt->first + 3 < ep) ? orders.erase(jt) : std::next(jt);
+    return orders.emplace(ep, std::move(order)).first->second;
   }
 };
 
@@ -456,10 +476,7 @@ urd_handle* urd_open(const char** paths, int n_paths, const urd_config* cfg) {
   h->pix_per_image = 1;
   for (int d = 0; d < cfg->ndims; ++d) h->pix_per_image *= cfg->image_size;
 
-  h->order.resize(h->index.size());
-  for (size_t i = 0; i < h->order.size(); ++i) h->order[i] = (uint32_t)i;
-  h->epoch = 0;
-  h->reshuffle_for_epoch(0);
+  h->order_for(0);  // pre-generate epoch 0 (single-threaded here)
 
   int nslots = cfg->num_batch_storage > 0 ? cfg->num_batch_storage : 2;
   h->slots.resize(nslots);
@@ -524,6 +541,7 @@ static void fill_worker(urd_handle* h) {
   while (true) {
     uint64_t ticket = h->next_fill_ticket.fetch_add(1);
     urd_handle::Slot* slot = &h->slots[ticket % h->slots.size()];
+    int64_t start0;
     {
       std::unique_lock<std::mutex> lk(h->mu);
       h->cv_free.wait(lk, [&] {
@@ -534,11 +552,16 @@ static void fill_worker(urd_handle* h) {
       slot->state = urd_handle::Slot::kFilling;
       slot->ticket = ticket;
       slot->expected = ticket + h->slots.size();
+      // capture under the mutex: urd_seek writes start_cursor under `mu`,
+      // so an unlocked read here would be a data race (round-3 review;
+      // production calls urd_seek only on a stopped handle, but the ABI
+      // does not forbid a live seek and TSan rightly flags it)
+      start0 = h->start_cursor;
       h->cv_free.notify_all();  // re-evaluate other waiters' predicates
     }
 
     // events for this ticket: deterministic function of (ticket, start_cursor)
-    int64_t first = h->start_cursor + (int64_t)ticket * epb;
+    int64_t first = start0 + (int64_t)ticket * epb;
     bool ok = true;
     const char* fail_reason = "event decode failed";
     for (int e = 0; e < epb && ok; ++e) {
@@ -547,10 +570,9 @@ static void fill_worker(urd_handle* h) {
       int64_t within = pos % n_ev;
       uint32_t ev_idx;
       {
-        // epoch-dependent shuffle: guard `order` swaps with the mutex
+        // epoch-dependent shuffle: guard the order cache with the mutex
         std::lock_guard<std::mutex> lk(h->mu);
-        h->ensure_epoch(ep);
-        ev_idx = h->order[within];
+        ev_idx = h->order_for(ep)[within];
       }
       const EventRef& ref = h->index[ev_idx];
       if (!read_event(readers[ref.file_idx], ref.offset,
@@ -659,7 +681,20 @@ int urd_start(urd_handle* h, int num_threads) {
     h->stopping = false;
   }
   for (int i = 0; i < num_threads; ++i)
-    h->workers.emplace_back(fill_worker, h);
+    h->workers.emplace_back([h] {
+      // workers must not throw across the thread boundary: convert any
+      // exception (e.g. std::bad_alloc on a corrupt-but-size-plausible
+      // count) into the handle error surfaced by urd_next, instead of
+      // std::terminate taking down the whole process
+      try {
+        fill_worker(h);
+      } catch (const std::exception& e) {
+        std::lock_guard<std::mutex> lk(h->mu);
+        if (h->error.empty())
+          h->error = std::string("decoder worker exception: ") + e.what();
+        h->cv_ready.notify_all();
+      }
+    });
   return 0;
 }
 

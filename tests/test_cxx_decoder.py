@@ -228,6 +228,43 @@ def test_cxx_rejects_out_of_shape_coords(tmp_path):
         BatchLoader(cfg, num_class=3).next()
 
 
+def test_cxx_rejects_corrupt_counts(tmp_path):
+    """Absurd counts in a corrupt file must surface as loader ERRORS — the
+    size-bounded validation rejects them before any resize could abort the
+    process via std::bad_alloc (round-3 review finding)."""
+    import struct
+
+    from uresnet_tpu.data.events import read_header
+
+    path = generate_file(str(tmp_path / "ok.usef"), 4, seed=2,
+                         shape=(128, 128), planes=(0,))
+    raw = open(path, "rb").read()
+    off = int(read_header(path)[2][0])
+
+    # corrupt EVENT: first plane's npoints (offset + num_planes(4) +
+    # plane_id(4) + shape(8)) -> ~4 billion points
+    bad_ev = str(tmp_path / "bad_event.usef")
+    b = bytearray(raw)
+    b[off + 16:off + 20] = struct.pack("<I", 0xFFFFFFFF)
+    open(bad_ev, "wb").write(bytes(b))
+    cfg = _cfg(bad_ev, planes=(0,), batch_size=2)
+    cx = cxx_decoder.CxxBatchLoader(cfg, num_class=3).start(1)
+    with pytest.raises(RuntimeError, match="decode"):
+        cx.next()
+    cx.stop(); cx.close()
+
+    # corrupt HEADER: event count ~2^60 -> open fails loudly (both readers)
+    bad_hdr = str(tmp_path / "bad_hdr.usef")
+    b = bytearray(raw)
+    b[12:20] = struct.pack("<Q", 1 << 60)
+    open(bad_hdr, "wb").write(bytes(b))
+    with pytest.raises(RuntimeError, match="header"):
+        cxx_decoder.CxxBatchLoader(_cfg(bad_hdr, planes=(0,), batch_size=2),
+                                   num_class=3)
+    with pytest.raises(ValueError, match="truncated USEF index"):
+        read_header(bad_hdr)
+
+
 def test_cxx_same_handle_stop_seek_start(usef_file):
     """stop() -> seek() -> start() on the SAME handle resumes the exact
     deterministic stream (urd_stop rewinds the ticket/slot ring; a worker

@@ -56,6 +56,55 @@ def test_usef_truncated_index_raises(tmp_path, rng):
         num_events(trunc)
 
 
+def test_crop_centroid_is_sequential_f64(rng):
+    """The crop-origin spec is a SEQUENTIAL float64 centroid accumulation in
+    file order — the exact computation the C++ decoder's double loop
+    performs, so both producers agree even at floor() half-integer
+    boundaries (round-3 review: an f32 pairwise values.sum() could differ).
+    Pin numpy against a literal Python loop."""
+    import math
+
+    for _ in range(5):
+        n = int(rng.integers(3, 200))
+        coords = rng.integers(0, 3000, size=(n, 2)).astype(np.int32)
+        values = (rng.random(n) * 100).astype(np.float32)
+        shifted, mask = crop_or_pad_coords(coords, (4096, 4096), 64,
+                                           values=values)
+        # literal sequential-double reference (the C++ loop)
+        vsum = 0.0
+        for v in values:
+            vsum += float(v)
+        center = [0.0, 0.0]
+        for i in range(n):
+            w = float(values[i]) / vsum
+            for d in range(2):
+                center[d] += w * float(coords[i, d])
+        anchor = coords[int(np.argmax(values))]
+        origin = []
+        for d in range(2):
+            lo = int(math.floor(center[d] - 32 + 0.5))
+            lo = max(int(anchor[d]) - 63, min(lo, int(anchor[d])))
+            lo = max(0, min(lo, 4096 - 64))
+            origin.append(lo)
+        np.testing.assert_array_equal(
+            shifted, coords.astype(np.int64) - np.asarray(origin)[None, :])
+
+
+def test_sparse_batch_rejects_negative_labels(rng):
+    """Negative labels must fail loudly, not wrap through the uint8 wire
+    (round-3 review finding)."""
+    from uresnet_tpu.data.pipeline import sparse_batch
+
+    ev_ = _event(rng, shape=(64, 64), planes=(0,))
+    bad = SparsePlane(plane_id=0, shape=(64, 64),
+                      coords=ev_.planes[0].coords[:4],
+                      values=ev_.planes[0].values[:4],
+                      labels=np.array([1, -1, 0, 2], np.int32))
+    with pytest.raises(ValueError, match="outside"):
+        sparse_batch([SparseEvent(planes=[bad])], planes=(0,),
+                     max_points=16, ndims=2)
+
+
 def test_crop_or_pad_centers_charge():
     coords = np.array([[100, 100], [101, 102]], np.int32)
     shifted, mask = crop_or_pad_coords(coords, (512, 512), 64)

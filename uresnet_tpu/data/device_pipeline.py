@@ -33,7 +33,11 @@ import jax.numpy as jnp
 def _crop_window(sparse: Dict[str, jax.Array], image_size: int):
     """Shared crop math (identical to pipeline.crop_or_pad_coords, tested
     bit-level): returns (shifted coords (B,P,D) int32, in_window (B,P) bool,
-    point-validity mask (B,P) bool) for a padded sparse batch."""
+    point-validity mask (B,P) bool, origin (B,D) int32) for a padded sparse
+    batch. The origin is exported by the ana steps so the host rebuilds the
+    SAME window with pure integer math instead of recomputing the f32
+    centroid (engine/evaluator.py) — host and device floor/clamp could
+    otherwise disagree by one pixel at a rounding boundary."""
     coords = sparse["coords"].astype(jnp.int32)      # (B, P, D)
     values = sparse["values"].astype(jnp.float32)    # (B, P)
     npoints = sparse["npoints"].astype(jnp.int32)    # (B,)
@@ -69,7 +73,14 @@ def _crop_window(sparse: Dict[str, jax.Array], image_size: int):
 
     shifted = coords - origin[:, None, :]
     in_win = jnp.all((shifted >= 0) & (shifted < T), axis=-1) & mask
-    return shifted, in_win, mask
+    return shifted, in_win, mask, origin
+
+
+def crop_origin(sparse: Dict[str, jax.Array], *, image_size: int) -> jax.Array:
+    """(B, D) int32 crop origin the device pipeline uses for this batch —
+    exported by the ana steps so host-side score export applies the exact
+    device window (integer subtraction, no recomputed centroid)."""
+    return _crop_window(sparse, image_size)[3]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -106,7 +117,7 @@ def densify_on_device(
     B, P, D = sparse["coords"].shape
     T = image_size
 
-    shifted, in_win, mask = _crop_window(sparse, image_size)
+    shifted, in_win, mask, _ = _crop_window(sparse, image_size)
 
     if augment_key is not None:
         # Mirror augment_batch's key/decision sequence EXACTLY (one
@@ -231,7 +242,8 @@ def scores_at_points(
     """Gather per-pixel scores back at the sparse batch's point coordinates
     (the crop window math shared with `densify_on_device`). Returns
     (B, P, C); rows for padded/out-of-window points carry garbage — mask
-    them with the host-side `crop_or_pad_coords` mask (bit-identical).
+    them with the window rebuilt from the exported `crop_origin` (integer
+    math, exactly the device window).
 
     This is the ana-export fast path (SURVEY.md §3.2): the reference's
     score writeback only needs scores AT the charge pixels, so reading back
@@ -242,7 +254,7 @@ def scores_at_points(
     full-image take_along_axis the loss once lost 30% of a step to."""
     T = image_size
     B, P, D = sparse["coords"].shape
-    shifted, in_win, _ = _crop_window(sparse, T)
+    shifted, in_win, _, _ = _crop_window(sparse, T)
     flat = jnp.zeros((B, P), jnp.int32)
     for d in range(D):
         flat = flat * T + jnp.clip(shifted[..., d], 0, T - 1)

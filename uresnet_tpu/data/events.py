@@ -33,6 +33,7 @@ when no plane carries weights, so v1 readers/goldens are unaffected.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
@@ -110,6 +111,14 @@ def read_header(path: str) -> Tuple[int, int, np.ndarray]:
         version, ndims, n = struct.unpack("<IIQ", f.read(16))
         if version not in _READABLE:
             raise ValueError(f"{path}: unsupported USEF version {version}")
+        # Size-bound the count BEFORE the read (mirrors the C++ reader's
+        # guard): a corrupt header with n ~ 2^60 would otherwise overflow
+        # f.read(8*n) instead of hitting the truncated-index error below.
+        size = os.fstat(f.fileno()).st_size
+        if n > max(size - 20, 0) // 8:
+            raise ValueError(
+                f"{path}: truncated USEF index ({max(size - 20, 0) // 8} "
+                f"of {n} event offsets)")
         offsets = np.frombuffer(f.read(8 * n), np.uint64)
         if len(offsets) != n:
             # an index truncated at an 8-byte boundary would otherwise

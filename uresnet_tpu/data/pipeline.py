@@ -43,11 +43,25 @@ def crop_or_pad_coords(
     tracks and produce an EMPTY crop), then clamp to the image."""
     ndims = coords.shape[1]
     n = len(coords)
-    if n and values is not None and values.sum() > 0:
-        w = values.astype(np.float64) / values.sum()
-        center = (coords * w[:, None]).sum(axis=0)
+    vsum = 0.0
+    if n and values is not None:
+        # Sequential float64 accumulation IN FILE ORDER (np.cumsum ==
+        # ufunc.accumulate, a running sum), matching the C++ decoder's
+        # `double acc; for (...) acc += v;` loop bit-for-bit: every term is
+        # exact in f64 (f32 charge widened exactly; int coord x f64 weight
+        # needs < 53 mantissa bits), so identical summation order means
+        # identical rounding and an IDENTICAL crop origin even when the
+        # centroid lands on a floor() half-integer boundary. The previous
+        # f32 pairwise values.sum() could disagree with the C++ double sum
+        # there and shift the crop by one pixel (round-3 review finding).
+        v64 = values.astype(np.float64)
+        vsum = float(np.cumsum(v64)[-1])
+    if n and vsum > 0:
+        w = v64 / vsum
+        center = np.cumsum(coords * w[:, None], axis=0)[-1]
         anchor = coords[int(np.argmax(values))]
     elif n:
+        # exact regardless of order: integer sums are exact in f64
         center = coords.mean(axis=0)
         anchor = coords[0]
     else:
@@ -181,10 +195,12 @@ def sparse_batch(
                     raise ValueError(
                         f"coordinate outside the declared plane shape "
                         f"{tuple(pl.shape)} (corrupt file)")
-                if int(np.max(pl.labels[:n], initial=0)) >= 256:
+                labs = np.asarray(pl.labels[:n])
+                if labs.size and (int(labs.min()) < 0
+                                  or int(labs.max()) >= 256):
                     raise ValueError(
-                        "label value >= 256 exceeds the uint8 sparse wire "
-                        "format (corrupt file)")
+                        "label value outside [0, 256) exceeds the uint8 "
+                        "sparse wire format (corrupt file)")
             coords[row, :n] = pl.coords[:n]
             values[row, :n] = pl.values[:n]
             labels[row, :n] = pl.labels[:n]

@@ -70,8 +70,10 @@ def _make_ana_step(trainer: Trainer):
     from uresnet_tpu.models.uresnet import uresnet_apply
 
     def step(ts: TrainState, batch):
+        out = {}
         if "coords" in batch:
-            from uresnet_tpu.data.device_pipeline import densify_on_device
+            from uresnet_tpu.data.device_pipeline import (crop_origin,
+                                                          densify_on_device)
 
             d = trainer.cfg.data
             dense = densify_on_device(
@@ -79,12 +81,17 @@ def _make_ana_step(trainer: Trainer):
                 num_class=trainer.cfg.model.num_class,
                 normalize_scale=d.normalize_scale,
                 normalize_clip=d.normalize_clip, weight_mode="ones")
+            # export the crop origin so the host rebuilds the EXACT device
+            # window with integer math (a recomputed host centroid can
+            # disagree by one pixel at a rounding boundary — round-3 review)
+            out["origin"] = crop_origin(batch, image_size=d.image_size)
         else:
             dense = batch
         logits, _ = uresnet_apply(ts.params, ts.model_state, dense["data"],
                                   cfg=trainer.cfg.model, train=False)
-        return {"data": dense["data"], "label": dense["label"],
-                "scores": jax.nn.softmax(logits, axis=-1)}
+        out.update(data=dense["data"], label=dense["label"],
+                   scores=jax.nn.softmax(logits, axis=-1))
+        return out
 
     if "ana_step" not in trainer._compiled:  # one executable per trainer
         trainer._compiled["ana_step"] = jax.jit(
@@ -195,6 +202,8 @@ def _make_ana_step_sparse(trainer: Trainer):
     from uresnet_tpu.models.uresnet import uresnet_apply
 
     def step(ts: TrainState, batch):
+        from uresnet_tpu.data.device_pipeline import crop_origin
+
         row_valid = batch["row_valid"].astype(jnp.float32)
         d = trainer.cfg.data
         sparse = {k: v for k, v in batch.items() if k != "row_valid"}
@@ -211,7 +220,12 @@ def _make_ana_step_sparse(trainer: Trainer):
             num_class=trainer.cfg.model.num_class, row_valid=row_valid)
         pscores = scores_at_points(sparse, scores,
                                    image_size=d.image_size)
-        return {"pscores": pscores, **counts}
+        # origin: see _make_ana_step — the host export must apply the exact
+        # device window, not a recomputed centroid (XLA CSEs this with the
+        # identical crop math inside scores_at_points)
+        return {"pscores": pscores,
+                "origin": crop_origin(sparse, image_size=d.image_size),
+                **counts}
 
     if "ana_step_sparse" not in trainer._compiled:
         trainer._compiled["ana_step_sparse"] = jax.jit(
@@ -224,10 +238,12 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
                           fmt, bs_events,
                           max_points) -> Dict[str, float]:
     """Sparse-export pass (see run_inference ``export='sparse'``): the
-    device ships per-POINT scores + confusion counts; the host rebuilds the
-    byte-identical export using the same crop window math
-    (pipeline.crop_or_pad_coords == device _crop_window, pinned bit-level
-    in tests/test_device_pipeline.py)."""
+    device ships per-POINT scores + confusion counts + its crop ORIGINS;
+    the host rebuilds the byte-identical export by applying the exported
+    origin with integer math — never a recomputed centroid, which could
+    disagree with the device window by one pixel at a rounding boundary
+    (round-3 review; window equality itself is still pinned bit-level in
+    tests/test_device_pipeline.py)."""
     from uresnet_tpu.engine.metrics import (metrics_from_counts,
                                             reduce_counts)
 
@@ -248,6 +264,7 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
     for idxs, events, out in _produce_streamed(
             trainer, ts, input_file, n, bs_events, P, sparse_export=True):
         pscores = out.pop("pscores")
+        origin_b = out.pop("origin")        # (B, D) device crop origins
         for key, v in reduce_counts(out).items():
             agg_counts[key] = agg_counts.get(key, 0.0) + v
         rows_per_event = len(planes)
@@ -268,8 +285,11 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
                         f"label {int(l.max())} >= model.num_class="
                         f"{num_class} in event {eidx} plane {pid} of "
                         f"{input_file!r} — wrong num_class or corrupt file")
-                shifted, inwin = crop_or_pad_coords(c, pl.shape, S,
-                                                    values=v)
+                # rebuild the EXACT window the device used from its exported
+                # origin — pure integer math, so the host mask can never
+                # pair device-gathered scores with a different window
+                shifted = c.astype(np.int64) - origin_b[row].astype(np.int64)
+                inwin = np.all((shifted >= 0) & (shifted < S), axis=1)
                 sc_all = np.asarray(pscores[row, :npt], np.float32)
                 pred_pts = sc_all.argmax(-1)
                 # npz export set == dense path's per-PIXEL view: dedupe
@@ -418,6 +438,9 @@ def run_inference(
         scores = np.asarray(out["scores"])
         data_b = np.asarray(out["data"])
         label_b = np.asarray(out["label"])
+        # present when the device densified (streamed sparse input): the
+        # usef writeback must apply the device's own crop window
+        origin_b = out.get("origin")
         pred = scores.argmax(-1)
         rows_per_event = len(planes)
         for bi, (eidx, evt) in enumerate(zip(idxs, events)):
@@ -454,11 +477,20 @@ def run_inference(
                 n_pix_total += label_img.size
                 if fmt == "usef":
                     # map scores back to ORIGINAL detector coordinates via
-                    # the same crop window the model saw
+                    # the same crop window the model saw: the device's
+                    # exported origin when it densified, else the host
+                    # recompute (host-densified batches use the host window)
                     pl = by_id[pid]
-                    shifted, inwin = crop_or_pad_coords(
-                        pl.coords, pl.shape, cfg.data.image_size,
-                        values=pl.values)
+                    if origin_b is not None:
+                        shifted = (pl.coords.astype(np.int64)
+                                   - origin_b[row].astype(np.int64))
+                        inwin = np.all(
+                            (shifted >= 0)
+                            & (shifted < cfg.data.image_size), axis=1)
+                    else:
+                        shifted, inwin = crop_or_pad_coords(
+                            pl.coords, pl.shape, cfg.data.image_size,
+                            values=pl.values)
                     win = tuple(shifted[inwin].T)
                     orig = pl.coords[inwin].astype(np.int32)
                     sc = scores[row][win]           # (npix, num_class)

@@ -282,7 +282,9 @@ def pack_weight_up_h(wu: jax.Array) -> jax.Array:
 
 def conv_packed(xp, wp, *, padding, stride=1, dims=2, compute_dtype,
                 precision=None):
-    dn = ("NHWC", "HWIO", "NHWC") if dims == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    from uresnet_tpu.ops.conv import _dim_numbers
+
+    dn = _dim_numbers(dims)
     if isinstance(padding, tuple) and isinstance(padding[0], int):
         padding = (padding,) * dims
     strides = stride if isinstance(stride, tuple) else (stride,) * dims

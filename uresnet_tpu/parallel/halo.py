@@ -105,9 +105,11 @@ def sharded_conv(
 
     from uresnet_tpu.parallel.mesh import DATA_AXIS
 
+    from uresnet_tpu.ops.conv import _dim_numbers, _precision
+
     k = w.shape[spatial_dim - 1]
     lo, hi = same_halo(k, stride)
-    dn = ("NHWC", "HWIO", "NHWC") if dims == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    dn = _dim_numbers(dims)
 
     in_spec = [None] * (dims + 2)
     in_spec[spatial_dim] = SPATIAL_AXIS
@@ -125,12 +127,14 @@ def sharded_conv(
                 kk = w.shape[d]
                 total = max(kk - stride, 0)
                 pads.append((total // 2, total - total // 2))
+        # output dtype == operand dtype, like ops/conv.py: forcing
+        # preferred_element_type=f32 under bf16 operands breaks the conv
+        # BACKWARD on TPU (cotangent dtype mismatch — CLAUDE.md invariant);
+        # the MXU accumulates in f32 internally either way
         return lax.conv_general_dilated(
             xl.astype(compute_dtype), w.astype(compute_dtype),
             window_strides=(stride,) * dims, padding=pads,
-            dimension_numbers=dn, preferred_element_type=jnp.float32,
-            precision=(lax.Precision.HIGHEST
-                       if compute_dtype == jnp.float32 else None))
+            dimension_numbers=dn, precision=_precision(compute_dtype))
 
     f = shard_map(local, mesh=mesh, in_specs=(spec, P()), out_specs=spec)
     return f(x, w)

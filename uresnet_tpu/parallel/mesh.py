@@ -44,6 +44,13 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None or n_data <= 0:
         n_data = len(devices) // (n_spatial * n_model)
+        if n_data < 1:
+            # without this, need = 0 passes the check below and Mesh gets
+            # an empty (0, spatial, model) grid -> cryptic downstream error
+            raise ValueError(
+                f"mesh needs at least {n_spatial * n_model} devices for "
+                f"spatial={n_spatial} x model={n_model}, have "
+                f"{len(devices)}")
     need = n_data * n_spatial * n_model
     if need > len(devices):
         raise ValueError(f"mesh {n_data}x{n_spatial}x{n_model} needs {need} "

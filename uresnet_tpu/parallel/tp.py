@@ -28,11 +28,18 @@ from uresnet_tpu.parallel.mesh import MODEL_AXIS
 
 
 def _conv(x, w, dims, compute_dtype, precision):
-    dn = ("NHWC", "HWIO", "NHWC") if dims == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    from uresnet_tpu.ops.conv import _dim_numbers, _precision
+
+    if precision is None:
+        # same defaulting as ops/conv.py: f32 compute means TRUE f32
+        # numerics (HIGHEST) — without it the TPU lowers f32 convs through
+        # bf16 passes and the documented equality with the unsharded pair
+        # fails on hardware (round-3 review)
+        precision = _precision(compute_dtype)
     return lax.conv_general_dilated(
         x.astype(compute_dtype), w.astype(compute_dtype),
-        window_strides=(1,) * dims, padding="SAME", dimension_numbers=dn,
-        preferred_element_type=None, precision=precision)
+        window_strides=(1,) * dims, padding="SAME",
+        dimension_numbers=_dim_numbers(dims), precision=precision)
 
 
 def conv_col(x, w, *, mesh: Mesh, dims: int = 2,
