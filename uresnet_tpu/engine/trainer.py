@@ -48,9 +48,24 @@ class Trainer:
         self.cfg = cfg
         if mesh is None:
             mesh = make_mesh(n_data=cfg.parallel.data,
-                             n_spatial=max(1, cfg.parallel.spatial))
+                             n_spatial=max(1, cfg.parallel.spatial),
+                             n_model=max(1, cfg.parallel.model))
         self.mesh = mesh
         self._rep = replicated_sharding(self.mesh)
+        # Full-model TP (parallel/tp.py tp_state_shardings): params, BN
+        # stats and Adam moments channel-sharded over 'model'; GSPMD places
+        # the collectives. Canonical layout only — the packed path derives
+        # kernels by channel-phase relabeling gathers that contradict a
+        # channel sharding.
+        self._n_model = dict(zip(mesh.axis_names,
+                                 mesh.devices.shape)).get("model", 1)
+        if self._n_model > 1 and cfg.model.pack:
+            raise ValueError(
+                "parallel.model > 1 (tensor parallelism) requires the "
+                "canonical layout — set model.pack: false (the packed "
+                "space-to-depth kernels are derived by channel-phase "
+                "relabeling gathers, ops/pack.py, which contradict a "
+                "channel sharding)")
         # Batch arrays: dim 0 over 'data'; when the mesh has a spatial axis,
         # also shard one spatial dim (H) — GSPMD partitions the convs and
         # inserts the ICI halo exchanges itself (the conv-net CP analog,
@@ -130,14 +145,30 @@ class Trainer:
 
     # -- state ---------------------------------------------------------------
 
-    def init_state(self, seed: Optional[int] = None) -> TrainState:
-        seed = self.cfg.train.seed if seed is None else seed
+    def _host_state(self, seed: int) -> TrainState:
         # uint32 PRNGKey (not typed key) so the key serializes in checkpoints
         k_param, k_train = jax.random.split(jax.random.PRNGKey(seed))
         params, mstate = uresnet_init(k_param, self.cfg.model)
-        state = TrainState(params=params, model_state=mstate,
-                           opt=adam_init(params), key=k_train)
-        return jax.device_put(state, self._rep)
+        return TrainState(params=params, model_state=mstate,
+                          opt=adam_init(params), key=k_train)
+
+    @property
+    def _ts_sh(self):
+        """Per-leaf placement of the TrainState: replicated under DP/SP;
+        channel-sharded over 'model' under full-model TP."""
+        if self._n_model <= 1:
+            return self._rep
+        if "ts_sh" not in self._compiled:
+            from uresnet_tpu.parallel.tp import tp_state_shardings
+
+            seed = self.cfg.train.seed
+            abstract = jax.eval_shape(lambda: self._host_state(seed))
+            self._compiled["ts_sh"] = tp_state_shardings(self.mesh, abstract)
+        return self._compiled["ts_sh"]
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.train.seed if seed is None else seed
+        return jax.device_put(self._host_state(seed), self._ts_sh)
 
     # -- step functions ------------------------------------------------------
 
@@ -290,8 +321,8 @@ class Trainer:
             self._compiled[key] = jax.jit(
                 functools.partial(self._train_step,
                                   with_metrics=with_metrics),
-                in_shardings=(self._rep, None),  # batch: per-leaf placement
-                out_shardings=(self._rep, self._rep),
+                in_shardings=(self._ts_sh, None),  # batch: per-leaf placement
+                out_shardings=(self._ts_sh, self._rep),
                 donate_argnums=(0,),
             )
         return self._compiled[key]
@@ -335,8 +366,8 @@ class Trainer:
 
             self._compiled[key] = jax.jit(
                 multi_fn,
-                in_shardings=(self._rep, None),  # batches: per-leaf placement
-                out_shardings=(self._rep, self._rep),
+                in_shardings=(self._ts_sh, None),  # batches: per-leaf placement
+                out_shardings=(self._ts_sh, self._rep),
                 donate_argnums=(0,),
             )
         return self._compiled[key]
@@ -357,8 +388,8 @@ class Trainer:
 
             self._compiled[key] = jax.jit(
                 scan_fn,
-                in_shardings=(self._rep, self._bsh),
-                out_shardings=(self._rep, self._rep),
+                in_shardings=(self._ts_sh, self._bsh),
+                out_shardings=(self._ts_sh, self._rep),
                 donate_argnums=(0,),
             )
         return self._compiled[key]
@@ -368,7 +399,7 @@ class Trainer:
         if "eval" not in self._compiled:
             self._compiled["eval"] = jax.jit(
                 self._eval_step,
-                in_shardings=(self._rep, None),
+                in_shardings=(self._ts_sh, None),
                 out_shardings=self._rep,
             )
         return self._compiled["eval"]
@@ -378,7 +409,7 @@ class Trainer:
         if "forward" not in self._compiled:
             self._compiled["forward"] = jax.jit(
                 self._forward,
-                in_shardings=(self._rep, self._bsh),
+                in_shardings=(self._ts_sh, self._bsh),
                 out_shardings=self._bsh,
             )
         return self._compiled["forward"]
@@ -446,7 +477,7 @@ class Trainer:
         template = {"train_state": jax.device_get(self.init_state()),
                     "meta": {"step": np.int64(0), "data_cursor": np.int64(0)}}
         tree = ckpt.load_checkpoint(path, template)
-        ts = jax.device_put(TrainState(*tree["train_state"]), self._rep)
+        ts = jax.device_put(TrainState(*tree["train_state"]), self._ts_sh)
         return ts, int(tree["meta"]["step"]), int(tree["meta"]["data_cursor"])
 
     # -- fit loop ---------------------------------------------------------------

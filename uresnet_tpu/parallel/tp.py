@@ -13,6 +13,18 @@ for back-to-back convs (e.g. the two 3x3 convs of a residual block):
 
 conv_col -> (elementwise) -> conv_row reproduces the unsharded pair with a
 single allreduce, verified in tests/test_tp.py on the virtual CPU mesh.
+
+Full-model TP (`tp_state_shardings`): the GSPMD route — annotate every conv
+kernel's output-channel dim (and the channel dim of its BN/bias vectors)
+with the 'model' axis and let the partitioner place the collectives, per
+the scaling-book recipe ("pick a mesh, annotate shardings, let XLA insert
+collectives"). Storage (params, BN stats, Adam moments) is channel-sharded
+over 'model'; activations become channel-sharded where the compiler keeps
+the conv output-feature-partitioned. Enabled by `parallel.model > 1`
+(engine/trainer.py); numerically equal to the unsharded step
+(tests/test_tp.py, __graft_entry__.dryrun_multichip DPxTP leg). Canonical
+layout only: the packed path derives its kernels by channel-phase
+relabeling gathers (ops/pack.py) that contradict a channel sharding.
 """
 
 from __future__ import annotations
@@ -25,6 +37,56 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from uresnet_tpu.parallel.mesh import MODEL_AXIS
+
+
+def tp_spec(path, leaf) -> P:
+    """PartitionSpec for one train-state leaf under full-model TP.
+
+    Leaf-name rule (the param trees of models/uresnet.py):
+      * conv kernels  — dict key 'w', ndim >= 3, layout (*k, Cin, Cout):
+        shard Cout over 'model' (column-parallel storage);
+      * channel vectors — 'scale'/'bias' (BN), 'b' (conv bias),
+        'mean'/'var' (BN running stats), ndim == 1: shard dim 0, matching
+        the producing conv's output sharding.
+    Everything else (PRNG key, step counters, the num_class head whose Cout
+    is not divisible) stays replicated. Adam moments mirror the param tree,
+    so the same rule applied to their paths shards them identically.
+    """
+    name = None
+    for entry in reversed(path):
+        key = getattr(entry, "key", getattr(entry, "name", None))
+        if isinstance(key, str):
+            name = key
+            break
+    shape = getattr(leaf, "shape", ())
+    if name == "w" and len(shape) >= 3:
+        return P(*([None] * (len(shape) - 1) + [MODEL_AXIS]))
+    if name in ("scale", "bias", "b", "mean", "var") and len(shape) == 1:
+        return P(MODEL_AXIS)
+    return P()
+
+
+def tp_state_shardings(mesh: Mesh, tree):
+    """NamedSharding pytree for a TrainState-like tree under full-model TP.
+
+    `tree` may hold arrays or ShapeDtypeStructs (jax.eval_shape output).
+    Leaves whose sharded dim is not divisible by the 'model' axis size fall
+    back to replicated — e.g. the head conv (Cout = num_class).
+    """
+    from jax.sharding import NamedSharding
+
+    n_model = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+
+    def one(path, leaf):
+        spec = tp_spec(path, leaf)
+        shape = getattr(leaf, "shape", ())
+        for dim, axis in enumerate(spec):
+            if axis is not None and shape[dim] % n_model:
+                spec = P()
+                break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, tree)
 
 
 def _conv(x, w, dims, compute_dtype, precision):
