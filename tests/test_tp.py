@@ -170,3 +170,77 @@ def test_tp_requires_canonical_layout():
     cfg = _tiny_cfg(pack=True)
     with pytest.raises(ValueError, match="canonical layout"):
         Trainer(cfg, mesh=make_mesh(n_data=1, n_spatial=1, n_model=2))
+
+
+def test_full_model_tp_3d_loss_matches():
+    """3D (NDHWC) under full-model TP: same channel-sharding rule, same
+    loss as the single-device step (the dryrun's TP leg is 2D-only; this
+    pins the 3D claim on the virtual mesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    from uresnet_tpu.config import (Config, DataConfig, ModelConfig,
+                                    OptimConfig, TrainConfig)
+    from uresnet_tpu.engine.trainer import Trainer
+
+    cfg = Config(
+        model=ModelConfig(dims=3, num_class=3, base_filters=4, depth=2,
+                          compute_dtype="float32", pack=False),
+        data=DataConfig(image_size=16, batch_size=2, planes=(0,),
+                        synthetic=True, augment=False),
+        train=TrainConfig(seed=0), optim=OptimConfig(eps=1e-3))
+    tr_tp = Trainer(cfg, mesh=make_mesh(n_data=2, n_spatial=1, n_model=2))
+    tr_1 = Trainer(cfg, mesh=make_mesh(n_data=1))
+    ts_tp, ts_1 = tr_tp.init_state(), tr_1.init_state()
+    assert ts_tp.params["stem"]["conv"]["w"].sharding.spec == P(
+        None, None, None, None, "model")
+
+    rng = np.random.default_rng(7)
+    S = cfg.data.image_size
+    batch = {
+        "data": rng.random((2, S, S, S, 1), np.float32),
+        "label": rng.integers(0, 3, (2, S, S, S)).astype(np.int32),
+        "weight": np.ones((2, S, S, S), np.float32),
+    }
+    ts_tp, m_tp = tr_tp.train_step(ts_tp, tr_tp._device_batch(batch))
+    ts_1, m_1 = tr_1.train_step(ts_1, tr_1._device_batch(batch))
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]),
+                               rtol=5e-4)
+    assert ts_tp.params["stem"]["conv"]["w"].sharding.spec == P(
+        None, None, None, None, "model")
+
+
+def test_tp_evaluator_paths(tmp_path):
+    """The ana/eval jit sites must accept the channel-sharded TrainState:
+    evaluate_dataset (the exactly-once mIoU gate) and run_inference under a
+    TP mesh match the single-device results. Regression for the in_shardings
+    pin that crashed every evaluator surface under parallel.model > 1."""
+    from uresnet_tpu.config import (Config, DataConfig, ModelConfig,
+                                    TrainConfig)
+    from uresnet_tpu.data.synthetic import generate_file
+    from uresnet_tpu.engine.evaluator import evaluate_dataset, run_inference
+    from uresnet_tpu.engine.trainer import Trainer
+
+    path = generate_file(str(tmp_path / "tp_ana.usef"), 6, seed=5,
+                         shape=(64, 64), planes=(0,))
+    cfg = Config(
+        model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32", pack=False),
+        data=DataConfig(image_size=32, batch_size=4, planes=(0,),
+                        input_files=(path,), synthetic=False,
+                        random_access=False),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "ckpt"),
+                          log_dir=str(tmp_path / "log")))
+    tr_tp = Trainer(cfg, mesh=make_mesh(n_data=2, n_spatial=1, n_model=2))
+    tr_1 = Trainer(cfg, mesh=make_mesh(1))
+    ts_tp, ts_1 = tr_tp.init_state(), tr_1.init_state()
+
+    m_tp = evaluate_dataset(tr_tp, ts_tp)   # exact mode (the gate)
+    m_1 = evaluate_dataset(tr_1, ts_1)
+    assert m_tp["n_events"] == m_1["n_events"] == 6
+    np.testing.assert_allclose(m_tp["miou"], m_1["miou"], rtol=1e-4)
+    np.testing.assert_allclose(m_tp["acc_nonzero"], m_1["acc_nonzero"],
+                               rtol=1e-4)
+
+    s_tp = run_inference(tr_tp, ts_tp, path, str(tmp_path / "tp.npz"))
+    s_1 = run_inference(tr_1, ts_1, path, str(tmp_path / "one.npz"))
+    np.testing.assert_allclose(s_tp["miou"], s_1["miou"], rtol=1e-4)

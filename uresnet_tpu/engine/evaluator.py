@@ -95,7 +95,7 @@ def _make_ana_step(trainer: Trainer):
 
     if "ana_step" not in trainer._compiled:  # one executable per trainer
         trainer._compiled["ana_step"] = jax.jit(
-            step, in_shardings=(trainer._rep, None),
+            step, in_shardings=(trainer._ts_sh, None),
             out_shardings=trainer._bsh_data_only)
     return trainer._compiled["ana_step"]
 
@@ -229,7 +229,7 @@ def _make_ana_step_sparse(trainer: Trainer):
 
     if "ana_step_sparse" not in trainer._compiled:
         trainer._compiled["ana_step_sparse"] = jax.jit(
-            step, in_shardings=(trainer._rep, None),
+            step, in_shardings=(trainer._ts_sh, None),
             out_shardings=trainer._rep)
     return trainer._compiled["ana_step_sparse"]
 
@@ -551,7 +551,7 @@ def _make_count_step(trainer: Trainer):
     # (a relay compile costs minutes — round-3 review finding)
     if "count_step" not in trainer._compiled:
         trainer._compiled["count_step"] = jax.jit(
-            step, in_shardings=(trainer._rep, None),
+            step, in_shardings=(trainer._ts_sh, None),
             out_shardings=trainer._rep)
     return trainer._compiled["count_step"]
 

@@ -57,8 +57,8 @@ class Trainer:
         # the collectives. Canonical layout only — the packed path derives
         # kernels by channel-phase relabeling gathers that contradict a
         # channel sharding.
-        self._n_model = dict(zip(mesh.axis_names,
-                                 mesh.devices.shape)).get("model", 1)
+        axis_sizes = dict(mesh.shape)  # axis name -> size
+        self._n_model = axis_sizes.get("model", 1)
         if self._n_model > 1 and cfg.model.pack:
             raise ValueError(
                 "parallel.model > 1 (tensor parallelism) requires the "
@@ -71,10 +71,8 @@ class Trainer:
         # inserts the ICI halo exchanges itself (the conv-net CP analog,
         # SURVEY.md §2.3; exactness vs single-device pinned in
         # tests/test_trainer.py::test_spatial_dp_equals_single_device).
-        self._spatial_n = dict(zip(self.mesh.axis_names,
-                                   self.mesh.devices.shape)).get("spatial", 1)
-        n_data = dict(zip(self.mesh.axis_names,
-                          self.mesh.devices.shape)).get("data", 1)
+        self._spatial_n = axis_sizes.get("spatial", 1)
+        n_data = axis_sizes.get("data", 1)
         if cfg.data.batch_size % max(n_data, 1):
             raise ValueError(
                 f"data.batch_size ({cfg.data.batch_size}) must be divisible "
@@ -454,8 +452,21 @@ class Trainer:
 
     # -- checkpoint -----------------------------------------------------------
 
+    def _gather_replicated(self, ts: TrainState) -> TrainState:
+        """Gather a (possibly model-sharded) TrainState to replicated so
+        every leaf is process-addressable before a host readback. Under
+        multi-host TP a channel-sharded leaf spans processes and
+        jax.device_get would raise; under DP/SP the state is already
+        replicated and this is a no-op."""
+        if self._n_model <= 1:
+            return ts
+        if "gather_rep" not in self._compiled:
+            self._compiled["gather_rep"] = jax.jit(
+                lambda t: t, out_shardings=self._rep)
+        return self._compiled["gather_rep"](ts)
+
     def save(self, ts: TrainState, step: int, data_cursor: int = 0) -> str:
-        tree = {"train_state": jax.device_get(ts),
+        tree = {"train_state": jax.device_get(self._gather_replicated(ts)),
                 "meta": {"step": np.int64(step),
                          "data_cursor": np.int64(data_cursor)}}
         return ckpt.save_checkpoint(self.cfg.train.checkpoint_dir, step, tree)
@@ -474,7 +485,10 @@ class Trainer:
                         " filesystem shared by all hosts")
             raise FileNotFoundError(
                 f"no checkpoint in {self.cfg.train.checkpoint_dir!r}{hint}")
-        template = {"train_state": jax.device_get(self.init_state()),
+        # host-built template: never touches the mesh (a sharded template
+        # would be non-addressable under multi-host TP)
+        template = {"train_state":
+                    jax.device_get(self._host_state(self.cfg.train.seed)),
                     "meta": {"step": np.int64(0), "data_cursor": np.int64(0)}}
         tree = ckpt.load_checkpoint(path, template)
         ts = jax.device_put(TrainState(*tree["train_state"]), self._ts_sh)

@@ -75,7 +75,7 @@ def tp_state_shardings(mesh: Mesh, tree):
     """
     from jax.sharding import NamedSharding
 
-    n_model = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+    n_model = dict(mesh.shape).get(MODEL_AXIS, 1)
 
     def one(path, leaf):
         spec = tp_spec(path, leaf)
