@@ -244,3 +244,59 @@ def test_tp_evaluator_paths(tmp_path):
     s_tp = run_inference(tr_tp, ts_tp, path, str(tmp_path / "tp.npz"))
     s_1 = run_inference(tr_1, ts_1, path, str(tmp_path / "one.npz"))
     np.testing.assert_allclose(s_tp["miou"], s_1["miou"], rtol=1e-4)
+
+
+def test_spatial_x_model_mesh_is_rejected():
+    """spatial x model meshes are rejected by the Trainer: XLA's SPMD
+    partitioner miscompiles convs that are both spatially and
+    output-feature partitioned (canary below)."""
+    from uresnet_tpu.engine.trainer import Trainer
+
+    cfg = _tiny_cfg()
+    with pytest.raises(ValueError, match="cannot be combined"):
+        Trainer(cfg, mesh=make_mesh(n_data=2, n_spatial=2, n_model=2))
+
+
+def test_spatial_x_model_conv_miscompile():
+    """CANARY for the XLA SPMD partitioner bug behind the Trainer's
+    spatial x model guard: a SAME conv whose input is H-sharded over
+    'spatial' and whose kernel is Cout-sharded over 'model' returns values
+    wrong by O(1) at EVERY row (jax 0.9.0; not a halo artifact — each
+    sharding alone is exact, see the assertions). If this test ever FAILS
+    (the combined conv becomes exact), XLA is fixed: lift the guard in
+    engine/trainer.py and re-enable the combined mesh."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_data=2, n_spatial=2, n_model=2)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 32, 32, 8)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 8, 8)) * 0.1).astype(np.float32)
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+
+    def f(x, w):
+        return lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                        dimension_numbers=dn)
+
+    ref = np.asarray(f(jnp.array(x), jnp.array(w)))
+    sh = lambda s: NamedSharding(mesh, s)  # noqa: E731
+
+    # each sharding alone is exact
+    out_sp = np.asarray(jax.jit(f)(
+        jax.device_put(jnp.array(x), sh(P("data", "spatial"))),
+        jax.device_put(jnp.array(w), sh(P()))))
+    np.testing.assert_allclose(out_sp, ref, atol=1e-5)
+    out_tp = np.asarray(jax.jit(f)(
+        jax.device_put(jnp.array(x), sh(P("data"))),
+        jax.device_put(jnp.array(w), sh(P(None, None, None, "model")))))
+    np.testing.assert_allclose(out_tp, ref, atol=1e-5)
+
+    # combined: miscompiled (this assertion pins the BUG's presence)
+    out_bad = np.asarray(jax.jit(f)(
+        jax.device_put(jnp.array(x), sh(P("data", "spatial"))),
+        jax.device_put(jnp.array(w), sh(P(None, None, None, "model")))))
+    assert np.max(np.abs(out_bad - ref)) > 1.0, (
+        "XLA now compiles the combined spatial x output-feature conv "
+        "partitioning correctly — lift the spatial x model guard in "
+        "engine/trainer.py and re-enable combined meshes")

@@ -72,6 +72,20 @@ class Trainer:
         # SURVEY.md §2.3; exactness vs single-device pinned in
         # tests/test_trainer.py::test_spatial_dp_equals_single_device).
         self._spatial_n = axis_sizes.get("spatial", 1)
+        if self._n_model > 1 and self._spatial_n > 1:
+            # XLA's SPMD partitioner miscompiles a conv whose input is
+            # spatially sharded AND whose kernel is output-feature sharded:
+            # the result is wrong by O(1) everywhere, not just at halo rows
+            # (reproduced with raw lax.conv_general_dilated on jax 0.9.0;
+            # canary: tests/test_tp.py::test_spatial_x_model_conv_miscompile
+            # — when that test starts failing, XLA is fixed and this guard
+            # can be lifted). Until then the combination is rejected.
+            raise ValueError(
+                "parallel.spatial > 1 and parallel.model > 1 cannot be "
+                "combined: XLA's SPMD partitioner miscompiles convs that "
+                "are both spatially and output-feature partitioned "
+                "(see tests/test_tp.py::test_spatial_x_model_conv_"
+                "miscompile). Use data x spatial or data x model meshes.")
         n_data = axis_sizes.get("data", 1)
         if cfg.data.batch_size % max(n_data, 1):
             raise ValueError(

@@ -25,6 +25,11 @@ the conv output-feature-partitioned. Enabled by `parallel.model > 1`
 (tests/test_tp.py, __graft_entry__.dryrun_multichip DPxTP leg). Canonical
 layout only: the packed path derives its kernels by channel-phase
 relabeling gathers (ops/pack.py) that contradict a channel sharding.
+Composes with DP but NOT with spatial partitioning: XLA's SPMD partitioner
+miscompiles convs that are both spatially and output-feature partitioned
+(O(1)-wrong output everywhere; reproduced with raw lax.conv_general_dilated
+on jax 0.9.0), so engine/trainer.py rejects spatial x model meshes — the
+canary test_spatial_x_model_conv_miscompile flags when XLA is fixed.
 """
 
 from __future__ import annotations
