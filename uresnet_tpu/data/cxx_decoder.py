@@ -23,10 +23,13 @@ from uresnet_tpu.config import DataConfig
 _WEIGHT_MODES = {"ones": 0, "class_balance": 1, "nonzero": 2, "file": 3}
 
 _LIB_PATHS = [
+    # explicit override first (an installed package has no repo checkout)
+    os.environ.get("URESNET_DECODER_LIB", ""),
     os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "cxx", "decoder", "liburesnet_decoder.so"),
     "liburesnet_decoder.so",
 ]
+_LIB_PATHS = [p for p in _LIB_PATHS if p]
 
 
 class _UrdConfig(C.Structure):
