@@ -38,6 +38,15 @@ def test_shipped_config_constructible(path):
     assert cfg.data.image_size % (2 ** cfg.model.depth) == 0, (
         f"{path}: image_size must be divisible by 2^depth for the U-Net "
         f"down/up path")
+    # parallelism composition rules Trainer.__init__ enforces
+    if cfg.parallel.model > 1:
+        assert not cfg.model.pack, (
+            f"{path}: parallel.model > 1 requires the canonical layout "
+            f"(model.pack: false)")
+        assert max(cfg.parallel.spatial, 1) == 1, (
+            f"{path}: parallel.spatial and parallel.model cannot be "
+            f"combined (XLA partitioner miscompile, tests/test_tp.py)")
+        assert cfg.data.batch_size % max(cfg.parallel.data, 1) == 0
 
 
 def test_reference_style_cfg_parses():
