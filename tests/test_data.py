@@ -499,3 +499,31 @@ def test_max_plane_points_scans_and_filters(tmp_path, rng):
     write_events(p2, events, ndims=2)
     assert max_plane_points(p2, planes=(0,)) == 70
     assert max_plane_points(p2) == 900
+
+
+def test_resolve_input_files_glob(tmp_path):
+    """Wildcard entries expand sorted; an empty expansion is a named
+    error, and plain paths pass through untouched (even if absent —
+    the reader raises later with its own message)."""
+    from uresnet_tpu.data.loader import resolve_input_files
+
+    p1 = generate_file(str(tmp_path / "run_b.usef"), 2, seed=1,
+                       shape=(64, 64), planes=(0,))
+    p2 = generate_file(str(tmp_path / "run_a.usef"), 2, seed=2,
+                       shape=(64, 64), planes=(0,))
+    cfg = DataConfig(input_files=(str(tmp_path / "run_*.usef"),),
+                     synthetic=False)
+    assert resolve_input_files(cfg, 2) == [p2, p1]  # sorted
+    cfg2 = DataConfig(input_files=(p1, str(tmp_path / "run_?.usef")),
+                      synthetic=False)
+    assert resolve_input_files(cfg2, 2) == [p1, p2, p1]
+    with pytest.raises(FileNotFoundError, match="matched no"):
+        resolve_input_files(DataConfig(
+            input_files=(str(tmp_path / "nope_*.usef"),),
+            synthetic=False), 2)
+    # a glob stream feeds a real loader end-to-end
+    b = BatchLoader(DataConfig(image_size=64, batch_size=2, planes=(0,),
+                               input_files=(str(tmp_path / "run_*.usef"),),
+                               synthetic=False, random_access=False,
+                               transfer="dense"), num_class=3).next()
+    assert b["data"].shape[0] == 2

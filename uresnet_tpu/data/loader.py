@@ -30,9 +30,27 @@ from uresnet_tpu.data.pipeline import densify_batch, sparse_batch
 
 
 def resolve_input_files(cfg: DataConfig, ndims: int) -> list:
-    """Input files, materializing the cached synthetic USEF file if needed."""
+    """Input files, materializing the cached synthetic USEF file if needed.
+
+    Entries containing shell wildcards (* ? [) are glob-expanded and
+    sorted, so converted multi-file samples can be pointed at with
+    `data.input_files=run1_*.usef`; a wildcard matching nothing is a named
+    error (a silent empty expansion would train on the wrong data)."""
     if cfg.input_files:
-        return list(cfg.input_files)
+        import glob as _glob
+
+        out = []
+        for entry in cfg.input_files:
+            if any(c in entry for c in "*?["):
+                matches = sorted(_glob.glob(entry))
+                if not matches:
+                    raise FileNotFoundError(
+                        f"data.input_files pattern {entry!r} matched no "
+                        f"files")
+                out.extend(matches)
+            else:
+                out.append(entry)
+        return out
     if not cfg.synthetic:
         raise ValueError("no input files and synthetic=False")
     from uresnet_tpu.data.synthetic import generate_file
