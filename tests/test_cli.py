@@ -87,3 +87,59 @@ def test_event_display_smoke(tmp_path):
     import os
 
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    """Preemption contract (SURVEY.md §5): SIGTERM during fit finishes the
+    in-flight step, writes a checkpoint, exits rc=0; --resume continues
+    from the saved step. checkpoint_iter=0 here so the ONLY possible
+    checkpoint is the preemption one."""
+    import os
+    import signal
+    import sys
+    import time
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        "model: {depth: 2, base_filters: 4, compute_dtype: float32}\n"
+        "data: {image_size: 32, batch_size: 2, planes: [0], synthetic: true,"
+        " synthetic_events: 8, num_threads: 1}\n"
+        f"train: {{checkpoint_dir: {tmp_path}/ck, log_dir: {tmp_path}/lg,"
+        " summary_iter: 1, checkpoint_iter: 0, val_iter: 0,"
+        " iterations: 100000}\n")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "uresnet_tpu.cli.train", str(cfg),
+         "--platform", "cpu", "parallel.data=1"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    csv = tmp_path / "lg" / "train_metrics.csv"
+    try:
+        deadline = time.time() + 300
+        # wait until at least one step is logged (compile is the long pole)
+        while time.time() < deadline:
+            if csv.exists() and len(csv.read_text().splitlines()) >= 3:
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"train exited early rc={proc.returncode}:\n"
+                    f"{proc.stdout.read()}")
+            time.sleep(1.0)
+        else:
+            raise AssertionError("no training progress within 300s")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "SIGTERM: checkpoint saved at step" in out, out
+    cks = sorted(p.name for p in (tmp_path / "ck").glob("step_*.npz"))
+    assert cks, out
+    saved_step = int(cks[-1].split("_")[1].split(".")[0])
+
+    # resume continues from the preemption checkpoint
+    rc = train_cli.main([str(cfg), "--platform", "cpu", "--resume", "parallel.data=1",
+                         "--iterations", "2"])
+    assert rc == 0
+    rows = (tmp_path / "lg" / "train_metrics.csv").read_text().splitlines()
+    assert any(r.startswith(f"{saved_step + 2},") for r in rows[1:]), rows

@@ -117,6 +117,11 @@ class TrainConfig:
     checkpoint_dir: str = "ckpt"
     log_dir: str = "log"
     load_file: str = ""              # checkpoint path to restore
+    preempt_save: bool = True        # on SIGTERM during fit (preemptible
+                                     # TPU VMs send it before reclaim):
+                                     # finish the in-flight step, write a
+                                     # checkpoint, exit the loop cleanly —
+                                     # `--resume` continues bit-exactly
     seed: int = 123
     loss_normalize: str = "mean"     # 'mean' (reference: mean(w*xent)) | 'weight_sum'
     steps_per_dispatch: int = 1      # fuse K train steps into ONE device

@@ -559,6 +559,25 @@ class Trainer:
             depth=cfg.data.prefetch_depth,
             put_fn=(self._device_batch_with(leaf_sh)
                     if jax.process_count() > 1 else None))
+        # Preemption contract (SURVEY.md §5 failure recovery): preemptible
+        # TPU VMs deliver SIGTERM before reclaim. Finish the in-flight
+        # step, checkpoint, and leave the loop cleanly so --resume
+        # continues bit-exactly. Handler installation is skipped off the
+        # main thread (signal.signal raises there — e.g. fit under a test
+        # harness thread); each process receives its own SIGTERM but only
+        # the leader writes, like every other checkpoint.
+        preempted = {"flag": False}
+        prev_sigterm = None
+        if cfg.train.preempt_save:
+            import signal
+
+            def _on_sigterm(signum, frame):
+                preempted["flag"] = True
+
+            try:
+                prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+            except ValueError:
+                prev_sigterm = None
         t_last = time.time()
         cursor_now = cursor
         try:
@@ -591,9 +610,22 @@ class Trainer:
                 if cfg.train.checkpoint_iter and step % cfg.train.checkpoint_iter == 0:
                     if main_process:
                         self.save(ts, step, cursor_now)
-            if main_process:
-                self.save(ts, start_step + iters, cursor_now)
+                if preempted["flag"]:
+                    if main_process:
+                        path = self.save(ts, step, cursor_now)
+                        print(f"[uresnet_tpu] SIGTERM: checkpoint saved at "
+                              f"step {step} -> {path}; resume with --resume",
+                              flush=True)
+                    last["preempted_at_step"] = float(step)
+                    break
+            else:
+                if main_process:
+                    self.save(ts, start_step + iters, cursor_now)
         finally:
+            if prev_sigterm is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, prev_sigterm)
             # release BOTH loaders: worker threads and (for the C++ decoder)
             # the native handle must not leak per fit() call
             loader.stop()
