@@ -152,6 +152,16 @@ def test_full_model_tp_train_equals_single_device(tmp_path):
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
                  jax.device_get(ts_r.params), p_tp)
 
+    # checkpoints are mesh-independent: the TP-written file restores
+    # bit-exactly into a single-device trainer (save gathers to host
+    # arrays; restore re-shards to whatever mesh is current)
+    ts_x, step_x, _ = tr_1.restore(
+        path=str(tmp_path / "ckpt" / "step_00000002.npz"))
+    assert step_x == 2
+    assert ts_x.params["stem"]["conv"]["w"].sharding.spec == P()
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 jax.device_get(ts_x.params), p_tp)
+
 
 def test_parallel_model_knob_builds_tp_mesh():
     from uresnet_tpu.engine.trainer import Trainer
