@@ -593,3 +593,25 @@ def test_sparse_export_dedupes_colliding_points(tmp_path):
     for k in zh.files:
         np.testing.assert_array_equal(zh[k], zs[k], err_msg=k)
     assert zs["label"].tolist() == [2, 2]    # last-wins at (10,10)
+
+
+def test_evaluate_dataset_exact_multi_file_glob(tmp_path):
+    """The exactly-once gate spans multiple input files addressed by one
+    glob pattern: every event of every matched file counted exactly once."""
+    from uresnet_tpu.config import Config as C
+
+    generate_file(str(tmp_path / "h1.usef"), 3, seed=31, shape=(64, 64),
+                  planes=(0,))
+    generate_file(str(tmp_path / "h2.usef"), 4, seed=32, shape=(64, 64),
+                  planes=(0,))
+    cfg = C(model=ModelConfig(depth=2, base_filters=4,
+                              compute_dtype="float32"),
+            data=DataConfig(image_size=32, batch_size=2, planes=(0,),
+                            input_files=(str(tmp_path / "h*.usef"),),
+                            synthetic=False, random_access=False),
+            train=TrainConfig(checkpoint_dir=str(tmp_path / "ck"),
+                              log_dir=str(tmp_path / "lg")))
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    m = evaluate_dataset(trainer, trainer.init_state())
+    assert m["n_events"] == 7
+    assert m["n_pixels"] == 7 * 32 * 32
