@@ -595,6 +595,134 @@ def test_sparse_export_dedupes_colliding_points(tmp_path):
     assert zs["label"].tolist() == [2, 2]    # last-wins at (10,10)
 
 
+def test_tiled_matches_sparse_export_when_single_window(tmp_path):
+    """When the detector plane IS one window (shape == image_size), the
+    tiled pass degenerates to a single origin-0 tile and must reproduce the
+    standard sparse-export pass byte-for-byte (npz AND usef): the standard
+    crop also clamps to origin 0 there, so window coords == original
+    detector coords."""
+    path = generate_file(str(tmp_path / "one.usef"), 5, seed=41,
+                         shape=(64, 64), planes=(0,))
+    cfg = Config(
+        model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=64, batch_size=2, planes=(0,),
+                        input_files=(path,), synthetic=False,
+                        random_access=False),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "c"),
+                          log_dir=str(tmp_path / "l")),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state()
+    m_std = run_inference(trainer, ts, path, str(tmp_path / "std.npz"))
+    m_til = run_inference(trainer, ts, path, str(tmp_path / "til.npz"),
+                          tiled=True)
+    assert m_til["n_tiles"] == 5                 # one tile per event/plane
+    assert m_std["n_pixels"] == m_til["n_pixels"]
+    zs, zt = np.load(str(tmp_path / "std.npz")), np.load(str(tmp_path / "til.npz"))
+    for k in zs.files:
+        np.testing.assert_array_equal(zs[k], zt[k], err_msg=k)
+    run_inference(trainer, ts, path, str(tmp_path / "std.usef"), fmt="usef")
+    run_inference(trainer, ts, path, str(tmp_path / "til.usef"), fmt="usef",
+                  tiled=True)
+    with open(str(tmp_path / "std.usef"), "rb") as f:
+        sb = f.read()
+    with open(str(tmp_path / "til.usef"), "rb") as f:
+        tb = f.read()
+    assert sb == tb
+
+
+def test_tiled_covers_full_plane(setup):
+    """Full-coverage contract: on 128^2 events scored through a 64^2 model
+    window, the tiled pass exports EVERY positive charge pixel (the
+    single-crop pass drops everything outside its centered window), and
+    each point's scores equal a numpy-densified per-tile forward oracle."""
+    from uresnet_tpu.data import events as ev
+
+    trainer, ts, path, tmp = setup
+    S = trainer.cfg.data.image_size               # 64; plane shape is 128^2
+    scale = trainer.cfg.data.normalize_scale
+    clip = trainer.cfg.data.normalize_clip
+    m_std = run_inference(trainer, ts, path, str(tmp / "cov_std.npz"))
+    m_til = run_inference(trainer, ts, path, str(tmp / "cov_til.npz"),
+                          tiled=True)
+    # expected pixel count: dedupe by pixel last-wins, positive normalized
+    events = ev.read_events(path)
+    n_expect = 0
+    for evt in events:
+        for pl in evt.planes:
+            if pl.plane_id not in (0, 1):
+                continue
+            flat = pl.coords[:, 0].astype(np.int64) * 128 + pl.coords[:, 1]
+            vals = np.zeros(128 * 128, np.float32)
+            vals[flat] = pl.values                 # last-wins
+            n_expect += int((np.clip(vals * scale, 0, clip) > 0).sum())
+    assert m_til["n_pixels"] == n_expect
+    assert m_std["n_pixels"] < n_expect            # the crop has a blind spot
+    assert m_til["n_tiles"] > len(events) * 2      # events span several tiles
+
+    # score oracle: per owned tile, numpy-densify the window (context
+    # points included) and run the plain forward
+    zt = np.load(str(tmp / "cov_til.npz"))
+    for evt_i, evt in enumerate(events[:2]):       # first 2 events suffice
+        for pl in evt.planes:
+            if pl.plane_id not in (0, 1):
+                continue
+            c = pl.coords.astype(np.int64)
+            tile = np.minimum(c // S, 1)           # ks = [2, 2] at 128/64
+            owner = tile[:, 0] * 2 + tile[:, 1]
+            sel_evt = (zt["event_id"] == evt_i) & (zt["plane_id"] == pl.plane_id)
+            exp_coords = zt["coords"][sel_evt]
+            exp_scores = zt["scores"][sel_evt]
+            for tid in np.unique(owner):
+                o = np.array([(tid // 2) * S, (tid % 2) * S])
+                ctx = np.all((c >= o) & (c < o + S), axis=1)
+                data = np.zeros((S, S), np.float32)
+                w = (c[ctx] - o)
+                data[w[:, 0], w[:, 1]] = np.clip(
+                    pl.values[ctx] * scale, 0, clip)
+                sc = np.asarray(trainer.forward(
+                    ts, data[None, :, :, None]))[0]
+                own_pix = (exp_coords >= o).all(1) & (exp_coords < o + S).all(1)
+                ww = exp_coords[own_pix] - o
+                np.testing.assert_allclose(
+                    exp_scores[own_pix], sc[ww[:, 0], ww[:, 1]],
+                    rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_usef_scores_every_point(setup):
+    """Tiled usef writeback carries ALL points of every plane in file order
+    (the standard writeback keeps only in-window points)."""
+    from uresnet_tpu.data import events as ev
+    from uresnet_tpu.engine.evaluator import score_plane_id
+
+    trainer, ts, path, tmp = setup
+    out = str(tmp / "cov.usef")
+    run_inference(trainer, ts, path, out, fmt="usef", tiled=True)
+    back = ev.read_events(out)
+    inputs = ev.read_events(path)
+    num_class = trainer.cfg.model.num_class
+    for evt_in, evt_out in zip(inputs, back):
+        by_id = {p.plane_id: p for p in evt_out.planes}
+        for pin in evt_in.planes:
+            if pin.plane_id not in (0, 1):
+                continue
+            for cls in range(num_class):
+                cp = by_id[score_plane_id(pin.plane_id, cls, num_class)]
+                np.testing.assert_array_equal(cp.coords, pin.coords)
+            total = sum(
+                by_id[score_plane_id(pin.plane_id, cls, num_class)]
+                .values.astype(np.float64) for cls in range(num_class))
+            np.testing.assert_allclose(total, 1.0, rtol=1e-3)
+
+
+def test_infer_cli_rejects_tiled_metrics_only():
+    from uresnet_tpu.cli import infer as infer_cli
+
+    with pytest.raises(SystemExit):
+        infer_cli.main(["--tiled", "--metrics-only", "--platform", "cpu"])
+
+
 def test_evaluate_dataset_exact_multi_file_glob(tmp_path):
     """The exactly-once gate spans multiple input files addressed by one
     glob pattern: every event of every matched file counted exactly once."""

@@ -36,6 +36,12 @@ def main(argv=None):
                         "device->host traffic — the production TPU mode); "
                         "'dense' reads back full score volumes; 'auto' "
                         "picks sparse (engine/evaluator.py)")
+    p.add_argument("--tiled", action="store_true",
+                   help="full-coverage tiled inference: cover events larger "
+                        "than data.image_size with a grid of clamped tiles "
+                        "so EVERY charge point is scored (the single-crop "
+                        "default drops points outside the centered window); "
+                        "npz coords are then original detector coordinates")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
                    help="force a JAX platform")
     args, extra = p.parse_known_args(argv)
@@ -58,6 +64,9 @@ def main(argv=None):
         cfg = apply_overrides(Config(), overrides)
 
     metrics_mode = args.metrics_only or not args.input
+    if args.tiled and metrics_mode:
+        p.error("--tiled is an export mode: use it with --input/--output, "
+                "not --metrics-only")
     if metrics_mode and args.input:
         # evaluate THE GIVEN held-out file exactly once (parity gate).
         # The cfg swap happens BEFORE the Trainer exists: Trainer caches
@@ -78,7 +87,8 @@ def main(argv=None):
         print("metrics:", {k: round(v, 5) for k, v in m.items()}, flush=True)
     else:
         m = run_inference(trainer, ts, args.input, args.output,
-                          fmt=args.format, export=args.export)
+                          fmt=args.format, export=args.export,
+                          tiled=args.tiled)
         print(f"wrote {args.output}:", m, flush=True)
     return 0
 

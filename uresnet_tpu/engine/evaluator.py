@@ -342,6 +342,213 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
     return metrics
 
 
+def _tile_rows_for_plane(pl, S: int):
+    """Tile cover of a plane for full-coverage inference: grid tiles of
+    side `S` aligned to multiples of S (the last tile per dim clamped to the
+    detector edge), keeping only tiles that OWN at least one point. Every
+    point is owned by exactly one tile (per-dim index ``min(c // S, k-1)``);
+    a tile's row also carries the CONTEXT points of neighbouring tiles that
+    fall inside its (possibly clamped) window, so the network sees the same
+    local evidence a centered crop would.
+
+    Returns a list of dicts with 'origin' (D,) int64, 'ctx_idx' (m,) point
+    indices inside the window (file order), and 'owned' (m,) bool marking
+    the points this tile exports."""
+    c = pl.coords.astype(np.int64)
+    n = len(pl.values)
+    if n == 0:
+        return []
+    D = c.shape[1]
+    ks = [max(1, -(-int(s) // S)) for s in pl.shape]
+    origins = [[min(i * S, max(int(s) - S, 0)) for i in range(k)]
+               for s, k in zip(pl.shape, ks)]
+    tile = np.minimum(c // S, np.array([k - 1 for k in ks])[None, :])
+    owner = np.zeros(n, np.int64)
+    for d in range(D):
+        owner = owner * ks[d] + tile[:, d]
+    rows = []
+    for tid in np.unique(owner):                    # sorted -> deterministic
+        rem, tdims = int(tid), []
+        for d in reversed(range(D)):
+            tdims.append(rem % ks[d])
+            rem //= ks[d]
+        o = np.array([origins[d][td] for d, td in
+                      zip(range(D), reversed(tdims))], np.int64)
+        ctx_idx = np.nonzero(np.all((c >= o) & (c < o + S), axis=1))[0]
+        rows.append({"origin": o, "ctx_idx": ctx_idx,
+                     "owned": owner[ctx_idx] == tid})
+    return rows
+
+
+def _run_inference_tiled(trainer, ts, input_file, output_file, *,
+                         fmt, bs_events, max_points) -> Dict[str, float]:
+    """Full-coverage tiled pass (run_inference ``tiled=True``): EVERY charge
+    point receives a score, regardless of how far the event extends beyond
+    one `image_size` window — the single-crop paths drop out-of-window
+    points by construction (the reference crops upstream in larcv and has
+    the same blind spot; this mode exceeds it, SURVEY.md §3.2).
+
+    Mechanics: each occupied grid tile becomes one sparse batch row with
+    coords pre-shifted by the tile origin and the declared shape set to
+    image_size — `device_pipeline._crop_window` then clamps the device crop
+    origin to exactly 0 (shape == target), so the UNMODIFIED fused ana step
+    (densify + forward + softmax + point gather) scores the tile and the
+    host maps points back with pure integer math. Context points from
+    neighbouring tiles ride along in the window (network context) but only
+    the owning tile exports a point.
+
+    Metrics are over the EXPORTED charge pixels (each exactly once; there is
+    no well-defined dense-window pixel set under clamped-tile overlap), so
+    acc_all == acc_nonzero and the IoUs are charge-pixel IoUs here."""
+    cfg = trainer.cfg
+    S = cfg.data.image_size
+    D = cfg.model.dims
+    planes_sel = tuple(cfg.data.planes)
+    num_class = cfg.model.num_class
+    n = ev.num_events(input_file)
+    P = max_points
+    n_rows = bs_events * len(planes_sel)
+    scale, clip = cfg.data.normalize_scale, cfg.data.normalize_clip
+    step = _make_ana_step_sparse(trainer)
+
+    out_event, out_plane, out_coords = [], [], []
+    out_scores, out_pred, out_label = [], [], []
+    usef_events = []
+    n_exported = 0
+    n_tiles = 0
+    conf = np.zeros((num_class, num_class), np.float64)
+
+    for start in range(0, n, bs_events):
+        idxs = list(range(start, min(start + bs_events, n)))
+        events = ev.read_events(input_file, idxs)
+        rows = []                       # (eidx, pid, plane, tile-row dict)
+        for eidx, evt in zip(idxs, events):
+            by_id = {p.plane_id: p for p in evt.planes}
+            for pid in planes_sel:
+                pl = by_id[pid]
+                labs = np.asarray(pl.labels)
+                if labs.size and int(labs.max()) >= num_class:
+                    raise ValueError(
+                        f"label {int(labs.max())} >= model.num_class="
+                        f"{num_class} in event {eidx} plane {pid} of "
+                        f"{input_file!r} — wrong num_class or corrupt file")
+                for r in _tile_rows_for_plane(pl, S):
+                    if len(r["ctx_idx"]) > P:
+                        raise ValueError(
+                            f"tile holds {len(r['ctx_idx'])} points > pad "
+                            f"length {P} (internal: P must cover "
+                            f"max_plane_points)")
+                    rows.append((eidx, pid, pl, r))
+        n_tiles += len(rows)
+        # dispatch every batch of this chunk asynchronously, then drain
+        pending = []
+        for b0 in range(0, len(rows), n_rows):
+            rb = rows[b0:b0 + n_rows]
+            coords = np.zeros((n_rows, P, D), np.int16)
+            values = np.zeros((n_rows, P), np.float32)
+            labels = np.zeros((n_rows, P), np.uint8)
+            npoints = np.zeros((n_rows,), np.int32)
+            for ri, (_, _, pl, r) in enumerate(rb):
+                ci = r["ctx_idx"]
+                coords[ri, :len(ci)] = (pl.coords[ci].astype(np.int64)
+                                        - r["origin"][None, :])
+                values[ri, :len(ci)] = pl.values[ci]
+                labels[ri, :len(ci)] = pl.labels[ci]
+                npoints[ri] = len(ci)
+            batch = {"coords": coords, "values": values, "labels": labels,
+                     "npoints": npoints,
+                     "shape": np.full((n_rows, D), S, np.int32),
+                     "row_valid": (np.arange(n_rows) < len(rb)).astype(
+                         np.float32)}
+            dev = {k: jax.device_put(v, trainer._leaf_sharding(k))
+                   for k, v in batch.items()}
+            pending.append((rb, step(ts, dev)))
+        # per-(event, plane) score buffers filled from the owning tiles
+        buf: Dict[tuple, np.ndarray] = {}
+        for rb, out in pending:
+            got = jax.device_get(out)
+            assert not np.any(np.asarray(got["origin"])[:len(rb)]), \
+                "tiled rows must densify at origin 0 (shape == image_size)"
+            ps = np.asarray(got["pscores"], np.float32)
+            for ri, (eidx, pid, pl, r) in enumerate(rb):
+                key = (eidx, pid)
+                if key not in buf:
+                    buf[key] = np.full((len(pl.values), num_class), np.nan,
+                                       np.float32)
+                ci = r["ctx_idx"]
+                buf[key][ci[r["owned"]]] = ps[ri, :len(ci)][r["owned"]]
+        # finalize the chunk's events in order
+        for eidx, evt in zip(idxs, events):
+            by_id = {p.plane_id: p for p in evt.planes}
+            score_planes = []
+            for pid in planes_sel:
+                pl = by_id[pid]
+                npt = len(pl.values)
+                sc = buf.get((eidx, pid),
+                             np.zeros((0, num_class), np.float32))
+                assert not np.isnan(sc).any(), \
+                    "tiled coverage hole: a point was owned by no tile"
+                pred_pts = (sc.argmax(-1) if npt else
+                            np.zeros(0, np.int64))
+                # npz export: dedupe colliding points LAST-WINS at the
+                # ORIGINAL detector pixel, keep pixels whose clipped
+                # normalized value is positive, in sorted flat-index order
+                # (the same recipe as the single-window path, with the full
+                # detector plane as the window).
+                c64 = pl.coords.astype(np.int64)
+                flat = np.zeros(npt, np.int64)
+                for d in range(D):
+                    flat = flat * int(pl.shape[d]) + c64[:, d]
+                order = np.argsort(flat, kind="stable")
+                flat_s = flat[order]
+                keep = np.ones(npt, bool)
+                if npt:
+                    keep[:-1] = flat_s[1:] != flat_s[:-1]
+                sel = order[keep]
+                m2 = np.clip(pl.values[sel] * scale, 0.0, clip) > 0
+                sel = sel[m2]
+                out_event.append(np.full(len(sel), eidx, np.int32))
+                out_plane.append(np.full(len(sel), pid, np.int32))
+                out_coords.append(pl.coords[sel].astype(np.int32))
+                out_scores.append(sc[sel])
+                out_pred.append(pred_pts[sel].astype(np.int32))
+                out_label.append(pl.labels[sel].astype(np.int32))
+                n_exported += int(len(sel))
+                if len(sel):
+                    conf += np.bincount(
+                        pred_pts[sel].astype(np.int64) * num_class
+                        + pl.labels[sel].astype(np.int64),
+                        minlength=num_class * num_class,
+                    ).reshape(num_class, num_class)
+                if fmt == "usef":
+                    # usef writeback: ALL points in FILE order — full
+                    # coverage is the point of this mode
+                    pr = pred_pts.astype(np.uint8)
+                    for cls in range(num_class):
+                        score_planes.append(ev.SparsePlane(
+                            plane_id=score_plane_id(pid, cls, num_class),
+                            shape=tuple(pl.shape),
+                            coords=pl.coords.astype(np.int32),
+                            values=sc[:, cls].astype(np.float32)
+                            if npt else np.zeros(0, np.float32),
+                            labels=pr))
+            if fmt == "usef":
+                usef_events.append(ev.SparseEvent(planes=score_planes))
+
+    from uresnet_tpu.engine.metrics import metrics_from_counts
+
+    metrics = metrics_from_counts({
+        "conf": conf, "n_pixels": float(n_exported),
+        "correct_nonzero": float(np.trace(conf)),
+        "n_nonzero": float(n_exported)})
+    metrics.update(n_events=n, n_pixels=n_exported, n_tiles=n_tiles)
+    _write_export(output_file, fmt, dims=trainer.cfg.model.dims,
+                  num_class=num_class, usef_events=usef_events,
+                  npz_columns=(out_event, out_plane, out_coords, out_scores,
+                               out_pred, out_label))
+    return metrics
+
+
 def run_inference(
     trainer: Trainer,
     ts: TrainState,
@@ -352,6 +559,7 @@ def run_inference(
     fmt: str = "npz",
     streamed: bool = True,
     export: str = "auto",
+    tiled: bool = False,
 ) -> Dict[str, float]:
     """Sequential pass over `input_file`; writes per-pixel score export.
 
@@ -379,6 +587,14 @@ def run_inference(
     identical in all modes — the ana sparse wire auto-sizes its pad length
     to the file's largest plane (events.max_plane_points), so inference
     NEVER truncates events regardless of the training-time data.max_points.
+
+    ``tiled=True`` switches to the full-coverage tiled pass
+    (`_run_inference_tiled`): events larger than one image_size window are
+    covered by a grid of clamped tiles so EVERY charge point is scored —
+    the single-crop modes (and the reference's upstream larcv crop) drop
+    points outside the centered window. Coords in the npz export are then
+    ORIGINAL detector coordinates (a single window is ambiguous), and the
+    reported metrics are over the exported charge pixels.
     """
     if fmt not in ("npz", "usef"):
         raise ValueError(f"unknown score export format {fmt!r}")
@@ -407,13 +623,17 @@ def run_inference(
                       num_class=num_class, usef_events=[],
                       npz_columns=([], [], [], [], [], []))
         return metrics
-    if streamed:
+    if streamed or tiled:
         # pad length covering the busiest SELECTED plane (rounded up to 256
         # for TPU-friendly shapes): ana never truncates, unlike the
         # training wire whose max_points is a fixed-shape knob. Host path
         # densifies whole events and needs no scan (round-3 review).
         needed = ev.max_plane_points(input_file, planes)
         ana_points = max(cfg.data.max_points, ((needed + 255) // 256) * 256)
+    if tiled:
+        return _run_inference_tiled(trainer, ts, input_file, output_file,
+                                    fmt=fmt, bs_events=bs_events,
+                                    max_points=ana_points)
     if export == "sparse":
         return _run_inference_sparse(trainer, ts, input_file, output_file,
                                      fmt=fmt, bs_events=bs_events,
