@@ -400,6 +400,8 @@ def _run_inference_tiled(trainer, ts, input_file, output_file, *,
     Metrics are over the EXPORTED charge pixels (each exactly once; there is
     no well-defined dense-window pixel set under clamped-tile overlap), so
     acc_all == acc_nonzero and the IoUs are charge-pixel IoUs here."""
+    import collections
+
     cfg = trainer.cfg
     S = cfg.data.image_size
     D = cfg.model.dims
@@ -440,8 +442,28 @@ def _run_inference_tiled(trainer, ts, input_file, output_file, *,
                             f"max_plane_points)")
                     rows.append((eidx, pid, pl, r))
         n_tiles += len(rows)
-        # dispatch every batch of this chunk asynchronously, then drain
-        pending = []
+        # dispatch the chunk's batches through a BOUNDED in-flight queue
+        # (prefetch_depth deep, like _produce_streamed): the tile count is
+        # data-dependent, so an unbounded dispatch queue could pin O(file)
+        # device buffers for a pathologically large event
+        pending: collections.deque = collections.deque()
+        # per-(event, plane) score buffers filled from the owning tiles
+        buf: Dict[tuple, np.ndarray] = {}
+
+        def drain_one():
+            rb, out = pending.popleft()
+            got = jax.device_get(out)
+            assert not np.any(np.asarray(got["origin"])[:len(rb)]), \
+                "tiled rows must densify at origin 0 (shape == image_size)"
+            ps = np.asarray(got["pscores"], np.float32)
+            for ri, (eidx, pid, pl, r) in enumerate(rb):
+                key = (eidx, pid)
+                if key not in buf:
+                    buf[key] = np.full((len(pl.values), num_class), np.nan,
+                                       np.float32)
+                ci = r["ctx_idx"]
+                buf[key][ci[r["owned"]]] = ps[ri, :len(ci)][r["owned"]]
+
         for b0 in range(0, len(rows), n_rows):
             rb = rows[b0:b0 + n_rows]
             coords = np.zeros((n_rows, P, D), np.int16)
@@ -463,20 +485,10 @@ def _run_inference_tiled(trainer, ts, input_file, output_file, *,
             dev = {k: jax.device_put(v, trainer._leaf_sharding(k))
                    for k, v in batch.items()}
             pending.append((rb, step(ts, dev)))
-        # per-(event, plane) score buffers filled from the owning tiles
-        buf: Dict[tuple, np.ndarray] = {}
-        for rb, out in pending:
-            got = jax.device_get(out)
-            assert not np.any(np.asarray(got["origin"])[:len(rb)]), \
-                "tiled rows must densify at origin 0 (shape == image_size)"
-            ps = np.asarray(got["pscores"], np.float32)
-            for ri, (eidx, pid, pl, r) in enumerate(rb):
-                key = (eidx, pid)
-                if key not in buf:
-                    buf[key] = np.full((len(pl.values), num_class), np.nan,
-                                       np.float32)
-                ci = r["ctx_idx"]
-                buf[key][ci[r["owned"]]] = ps[ri, :len(ci)][r["owned"]]
+            if len(pending) > max(1, cfg.data.prefetch_depth):
+                drain_one()
+        while pending:
+            drain_one()
         # finalize the chunk's events in order
         for eidx, evt in zip(idxs, events):
             by_id = {p.plane_id: p for p in evt.planes}
