@@ -22,11 +22,15 @@ def main():
     p.add_argument("--events", type=int, default=512)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=512)
+    p.add_argument("--detector", type=int, default=None,
+                   help="detector plane side (defaults to --size); set it "
+                        "LARGER than --size to exercise the tiled mode's "
+                        "grid cover (e.g. --detector 1024 --size 512)")
     p.add_argument("--dims", type=int, default=2, choices=(2, 3))
     p.add_argument("--fmt", default="npz", choices=("npz", "usef"))
     p.add_argument("--modes", nargs="*",
                    default=["sparse", "dense", "host"],
-                   help="subset of {sparse, dense, host} to run")
+                   help="subset of {sparse, dense, host, tiled} to run")
     p.add_argument("--device-only", action="store_true",
                    help="time the fused sparse ana STEP (densify + forward "
                         "+ softmax + point-gather + confusion counts) on a "
@@ -40,11 +44,12 @@ def main():
     from uresnet_tpu.engine.trainer import Trainer
     from uresnet_tpu.parallel.mesh import make_mesh
 
+    det = args.detector or args.size
     path = os.path.join(
-        "/tmp", f"ana_e2e_{args.dims}d_{args.events}_{args.size}.usef")
+        "/tmp", f"ana_e2e_{args.dims}d_{args.events}_{args.size}_{det}.usef")
     if not os.path.exists(path):
-        shape = ((max(args.size, 256),) * 2 if args.dims == 2
-                 else (args.size,) * 3)
+        shape = ((max(det, 256),) * 2 if args.dims == 2
+                 else (det,) * 3)
         generate_file(path, args.events, seed=7, shape=shape, planes=(0,))
 
     import jax
@@ -91,6 +96,7 @@ def main():
         "sparse": dict(streamed=True, export="sparse"),
         "dense": dict(streamed=True, export="dense"),
         "host": dict(streamed=False, export="dense"),
+        "tiled": dict(tiled=True),
     }
     for name in args.modes:
         kw = runs[name]
@@ -102,9 +108,12 @@ def main():
         m = run_inference(tr, ts, path, out, fmt=args.fmt,
                           batch_events=args.batch, **kw)
         dt = time.perf_counter() - t0
+        tiles = (f", {int(m['n_tiles'])} tiles "
+                 f"= {m['n_tiles'] / dt:.1f} tiles/s"
+                 if "n_tiles" in m else "")
         print(f"{name:7s} {args.events / dt:7.1f} img/s e2e "
               f"({dt:.2f} s, {m['n_pixels']} px exported, "
-              f"miou {m['miou']:.4f})", flush=True)
+              f"miou {m['miou']:.4f}{tiles})", flush=True)
 
 
 if __name__ == "__main__":
