@@ -826,6 +826,109 @@ def test_infer_cli_rejects_tiled_metrics_only():
         infer_cli.main(["--tiled", "--metrics-only", "--platform", "cpu"])
 
 
+def test_infer_cli_rejects_tiled_with_explicit_export():
+    """--tiled has exactly one readback mode; silently ignoring an explicit
+    --export dense would hand back different export/metric semantics than
+    asked for (round-3 review)."""
+    from uresnet_tpu.cli import infer as infer_cli
+
+    with pytest.raises(SystemExit):
+        infer_cli.main(["--tiled", "--export", "dense", "--input", "x.usef",
+                        "--platform", "cpu"])
+
+
+def test_resolve_input_files_literal_bracket_filename(tmp_path):
+    """A real file whose NAME contains glob metacharacters ('[') must stay
+    addressable: existing literal paths win over wildcard interpretation
+    (round-3 review — '[2024]' would otherwise parse as a character class
+    matching nothing)."""
+    from uresnet_tpu.data.loader import resolve_input_files
+
+    path = str(tmp_path / "run[2024].usef")
+    generate_file(path, 1, seed=3, shape=(64, 64), planes=(0,))
+    cfg = DataConfig(input_files=(path,), synthetic=False)
+    assert resolve_input_files(cfg, 2) == [path]
+
+
+def test_tiled_clamped_tiles_overlap(tmp_path):
+    """Detector extents that are NOT multiples of image_size (the realistic
+    LArTPC case — wire planes are not power-of-two multiples of the crop)
+    take _tile_rows_for_plane's clamped-origin branch: the last tile per
+    dimension shifts back to the detector edge (origin min(i*S, shape-S)),
+    so neighbouring windows OVERLAP and points ride along as context in a
+    window they are not owned by. Every positive pixel must still be
+    exported exactly once, with scores equal to a numpy forward oracle over
+    its OWNING tile's clamped window (round-3 review: all prior coverage
+    tests used exact-multiple detectors with zero overlap)."""
+    from uresnet_tpu.data import events as ev
+
+    S, DET = 64, 100
+    path = generate_file(str(tmp_path / "cl.usef"), 4, seed=17,
+                         shape=(DET, DET), planes=(0,))
+    cfg = Config(
+        model=ModelConfig(depth=2, base_filters=4, num_class=3,
+                          compute_dtype="float32"),
+        data=DataConfig(image_size=S, batch_size=2, planes=(0,),
+                        input_files=(path,), synthetic=False,
+                        random_access=False),
+        train=TrainConfig(checkpoint_dir=str(tmp_path / "c"),
+                          log_dir=str(tmp_path / "l")),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    ts = trainer.init_state()
+    out = str(tmp_path / "cl.npz")
+    m = run_inference(trainer, ts, path, out, tiled=True)
+    scale, clip = cfg.data.normalize_scale, cfg.data.normalize_clip
+
+    events = ev.read_events(path)
+    n_expect = 0
+    for evt in events:
+        pl = evt.planes[0]
+        flat = pl.coords[:, 0].astype(np.int64) * DET + pl.coords[:, 1]
+        vals = np.zeros(DET * DET, np.float32)
+        vals[flat] = pl.values                     # last-wins
+        n_expect += int((np.clip(vals * scale, 0, clip) > 0).sum())
+    assert m["n_pixels"] == n_expect               # full coverage
+
+    z = np.load(out)
+    # exactly-once: no (event, pixel) exported twice despite the overlap
+    key = (z["event_id"].astype(np.int64) * DET
+           + z["coords"][:, 0]) * DET + z["coords"][:, 1]
+    assert len(np.unique(key)) == len(key)
+
+    # per-tile forward oracle with CLAMPED origins [0, DET-S]
+    origins = [0, DET - S]
+    saw_context = False
+    for evt_i, evt in enumerate(events):
+        pl = evt.planes[0]
+        c = pl.coords.astype(np.int64)
+        owner = (np.minimum(c[:, 0] // S, 1) * 2
+                 + np.minimum(c[:, 1] // S, 1))
+        selz = z["event_id"] == evt_i
+        exp_coords = z["coords"][selz].astype(np.int64)
+        exp_scores = z["scores"][selz]
+        exp_owner = (np.minimum(exp_coords[:, 0] // S, 1) * 2
+                     + np.minimum(exp_coords[:, 1] // S, 1))
+        for tid in range(4):
+            o = np.array([origins[tid // 2], origins[tid % 2]])
+            ctx = np.all((c >= o) & (c < o + S), axis=1)
+            if not ctx.any():
+                continue
+            if (owner[ctx] != tid).any():
+                saw_context = True                 # overlap carried context
+            data = np.zeros((S, S), np.float32)
+            w = c[ctx] - o
+            data[w[:, 0], w[:, 1]] = np.clip(pl.values[ctx] * scale, 0, clip)
+            sc = np.asarray(trainer.forward(ts, data[None, :, :, None]))[0]
+            own_pix = exp_owner == tid
+            ww = exp_coords[own_pix] - o
+            assert ((ww >= 0) & (ww < S)).all()    # owned => inside window
+            np.testing.assert_allclose(
+                exp_scores[own_pix], sc[ww[:, 0], ww[:, 1]],
+                rtol=1e-4, atol=1e-5)
+    assert saw_context                             # the overlap was real
+
+
 def test_evaluate_dataset_exact_multi_file_glob(tmp_path):
     """The exactly-once gate spans multiple input files addressed by one
     glob pattern: every event of every matched file counted exactly once."""

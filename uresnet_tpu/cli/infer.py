@@ -67,6 +67,12 @@ def main(argv=None):
     if args.tiled and metrics_mode:
         p.error("--tiled is an export mode: use it with --input/--output, "
                 "not --metrics-only")
+    if args.tiled and args.export != "auto":
+        # the tiled pass has exactly one readback mode (per-point scores);
+        # silently ignoring an explicit --export dense would hand the user
+        # different export/metric semantics than they asked for
+        p.error("--tiled has its own (sparse per-point) readback; "
+                "--export cannot be combined with it")
     if metrics_mode and args.input:
         # evaluate THE GIVEN held-out file exactly once (parity gate).
         # The cfg swap happens BEFORE the Trainer exists: Trainer caches

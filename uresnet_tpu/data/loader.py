@@ -41,7 +41,10 @@ def resolve_input_files(cfg: DataConfig, ndims: int) -> list:
 
         out = []
         for entry in cfg.input_files:
-            if any(c in entry for c in "*?["):
+            if any(c in entry for c in "*?[") and not os.path.exists(entry):
+                # existing literal paths win over wildcard interpretation —
+                # '[' is a glob character class, but 'run[2024].usef' may be
+                # a real filename (round-3 review)
                 matches = sorted(_glob.glob(entry))
                 if not matches:
                     raise FileNotFoundError(

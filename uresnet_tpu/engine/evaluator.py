@@ -61,6 +61,30 @@ def _write_export(output_file, fmt, *, dims, num_class, usef_events,
     os.replace(tmp, output_file)
 
 
+def _select_export_pixels(coords, values, extents, *, scale, clip):
+    """npz export pixel selection — THE one copy of the recipe shared by the
+    single-window and tiled paths (round-3 review: two hand-kept copies of
+    load-bearing logic): dedupe colliding points LAST-WINS at their pixel
+    (densify scatters in file order, so the last assignment sticks), then
+    keep pixels whose clipped normalized value is positive, in sorted
+    flat-index (np.argwhere) order. `coords` are non-negative integer
+    positions inside a box of per-dimension `extents` (the model window for
+    the single-window path, the detector plane for the tiled path). Returns
+    selected indices into `coords`."""
+    npt = len(coords)
+    if npt == 0:
+        return np.zeros(0, np.int64)
+    flat = np.zeros(npt, np.int64)
+    for d, ext in enumerate(extents):
+        flat = flat * int(ext) + coords[:, d]
+    order = np.argsort(flat, kind="stable")
+    flat_s = flat[order]
+    keep = np.ones(npt, bool)
+    keep[:-1] = flat_s[1:] != flat_s[:-1]      # keep the LAST of each run
+    sel = order[keep]
+    return sel[np.clip(values[sel] * scale, 0.0, clip) > 0]
+
+
 def _make_ana_step(trainer: Trainer):
     """Jitted ana step: (sparse or dense) batch -> densified data/label +
     softmax scores in ONE dispatch — the streamed inference path reuses the
@@ -234,6 +258,38 @@ def _make_ana_step_sparse(trainer: Trainer):
     return trainer._compiled["ana_step_sparse"]
 
 
+def _make_ana_step_points(trainer: Trainer):
+    """Points-only ana step for the tiled pass: densify + forward + softmax
+    + per-point score gather + crop origin — WITHOUT the on-device
+    segmentation_counts reduction of _make_ana_step_sparse, whose dense
+    (n_rows, S^D) confusion pass the tiled host loop would discard anyway
+    (it rebuilds metrics from the exported points; round-3 review)."""
+    from uresnet_tpu.data.device_pipeline import (crop_origin,
+                                                  densify_on_device,
+                                                  scores_at_points)
+    from uresnet_tpu.models.uresnet import uresnet_apply
+
+    def step(ts: TrainState, batch):
+        d = trainer.cfg.data
+        dense = densify_on_device(
+            batch, image_size=d.image_size,
+            num_class=trainer.cfg.model.num_class,
+            normalize_scale=d.normalize_scale,
+            normalize_clip=d.normalize_clip, weight_mode="ones")
+        logits, _ = uresnet_apply(ts.params, ts.model_state, dense["data"],
+                                  cfg=trainer.cfg.model, train=False)
+        scores = jax.nn.softmax(logits, axis=-1)
+        return {"pscores": scores_at_points(batch, scores,
+                                            image_size=d.image_size),
+                "origin": crop_origin(batch, image_size=d.image_size)}
+
+    if "ana_step_points" not in trainer._compiled:
+        trainer._compiled["ana_step_points"] = jax.jit(
+            step, in_shardings=(trainer._ts_sh, None),
+            out_shardings=trainer._rep)
+    return trainer._compiled["ana_step_points"]
+
+
 def _run_inference_sparse(trainer, ts, input_file, output_file, *,
                           fmt, bs_events,
                           max_points) -> Dict[str, float]:
@@ -292,25 +348,14 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
                 inwin = np.all((shifted >= 0) & (shifted < S), axis=1)
                 sc_all = np.asarray(pscores[row, :npt], np.float32)
                 pred_pts = sc_all.argmax(-1)
-                # npz export set == dense path's per-PIXEL view: dedupe
-                # colliding in-window points LAST-WINS (densify scatters in
-                # file order, last assignment sticks), then keep pixels
-                # whose clipped normalized value is positive, in sorted
-                # flat-index (np.argwhere) order.
+                # npz export set == dense path's per-PIXEL view, via the
+                # shared selection recipe (_select_export_pixels)
                 win_all = shifted[inwin]
                 v_in, l_in = v[inwin], l[inwin]
                 sc_in, pr_in = sc_all[inwin], pred_pts[inwin]
-                flat = np.zeros(len(win_all), np.int64)
-                for d in range(win_all.shape[1] if len(win_all) else 0):
-                    flat = flat * S + win_all[:, d]
-                order = np.argsort(flat, kind="stable")
-                flat_s = flat[order]
-                keep = np.ones(len(flat_s), bool)
-                if len(flat_s):
-                    keep[:-1] = flat_s[1:] != flat_s[:-1]  # last of each run
-                sel = order[keep]
-                m2 = np.clip(v_in[sel] * scale, 0.0, clip) > 0
-                sel = sel[m2]
+                ndim_w = win_all.shape[1] if win_all.ndim == 2 else 0
+                sel = _select_export_pixels(win_all, v_in, (S,) * ndim_w,
+                                            scale=scale, clip=clip)
                 out_event.append(np.full(len(sel), eidx, np.int32))
                 out_plane.append(np.full(len(sel), pid, np.int32))
                 out_coords.append(win_all[sel].astype(np.int32))
@@ -381,7 +426,7 @@ def _tile_rows_for_plane(pl, S: int):
 
 
 def _run_inference_tiled(trainer, ts, input_file, output_file, *,
-                         fmt, bs_events, max_points) -> Dict[str, float]:
+                         fmt, bs_events) -> Dict[str, float]:
     """Full-coverage tiled pass (run_inference ``tiled=True``): EVERY charge
     point receives a score, regardless of how far the event extends beyond
     one `image_size` window — the single-crop paths drop out-of-window
@@ -391,9 +436,9 @@ def _run_inference_tiled(trainer, ts, input_file, output_file, *,
     Mechanics: each occupied grid tile becomes one sparse batch row with
     coords pre-shifted by the tile origin and the declared shape set to
     image_size — `device_pipeline._crop_window` then clamps the device crop
-    origin to exactly 0 (shape == target), so the UNMODIFIED fused ana step
-    (densify + forward + softmax + point gather) scores the tile and the
-    host maps points back with pure integer math. Context points from
+    origin to exactly 0 (shape == target), so the fused points ana step
+    (densify + forward + softmax + point gather, _make_ana_step_points)
+    scores the tile and the host maps points back with pure integer math. Context points from
     neighbouring tiles ride along in the window (network context) but only
     the owning tile exports a point.
 
@@ -408,10 +453,26 @@ def _run_inference_tiled(trainer, ts, input_file, output_file, *,
     planes_sel = tuple(cfg.data.planes)
     num_class = cfg.model.num_class
     n = ev.num_events(input_file)
-    P = max_points
     n_rows = bs_events * len(planes_sel)
     scale, clip = cfg.data.normalize_scale, cfg.data.normalize_clip
-    step = _make_ana_step_sparse(trainer)
+    # pre-pass: the pad length only needs to cover the busiest TILE window
+    # (plus its context), not the busiest whole plane — padding every tile
+    # row to the file-wide plane max inflated transfer, densify scatter and
+    # the (n_rows, P, C) score readback by the plane/tile occupancy ratio
+    # on exactly the oversized events this mode exists for (round-3
+    # review). Memory stays flat: only the max survives the pass; the tile
+    # math is recomputed per chunk below (host decode has ~240x headroom
+    # over the relay-bound device loop, benchmarks/RESULTS.md).
+    needed = 0
+    for start in range(0, n, bs_events):
+        for evt in ev.read_events(
+                input_file, list(range(start, min(start + bs_events, n)))):
+            by_id = {p.plane_id: p for p in evt.planes}
+            for pid in planes_sel:
+                for r in _tile_rows_for_plane(by_id[pid], S):
+                    needed = max(needed, len(r["ctx_idx"]))
+    P = max(256, ((needed + 255) // 256) * 256)
+    step = _make_ana_step_points(trainer)
 
     out_event, out_plane, out_coords = [], [], []
     out_scores, out_pred, out_label = [], [], []
@@ -436,10 +497,11 @@ def _run_inference_tiled(trainer, ts, input_file, output_file, *,
                         f"{input_file!r} — wrong num_class or corrupt file")
                 for r in _tile_rows_for_plane(pl, S):
                     if len(r["ctx_idx"]) > P:
-                        raise ValueError(
+                        raise RuntimeError(
                             f"tile holds {len(r['ctx_idx'])} points > pad "
-                            f"length {P} (internal: P must cover "
-                            f"max_plane_points)")
+                            f"length {P} (internal: the pre-pass sizes P "
+                            f"over every tile, so this cannot happen unless "
+                            f"the file changed mid-run)")
                     rows.append((eidx, pid, pl, r))
         n_tiles += len(rows)
         # dispatch the chunk's batches through a BOUNDED in-flight queue
@@ -453,8 +515,13 @@ def _run_inference_tiled(trainer, ts, input_file, output_file, *,
         def drain_one():
             rb, out = pending.popleft()
             got = jax.device_get(out)
-            assert not np.any(np.asarray(got["origin"])[:len(rb)]), \
-                "tiled rows must densify at origin 0 (shape == image_size)"
+            if np.any(np.asarray(got["origin"])[:len(rb)]):
+                # hard invariant (NOT an assert — python -O must not strip
+                # it into silently mis-paired scores): tile rows declare
+                # shape == image_size, so the device crop must clamp to 0
+                raise RuntimeError(
+                    "tiled invariant violated: device crop origin != 0 for "
+                    "a tile row (shape == image_size should clamp it)")
             ps = np.asarray(got["pscores"], np.float32)
             for ri, (eidx, pid, pl, r) in enumerate(rb):
                 key = (eidx, pid)
@@ -479,9 +546,7 @@ def _run_inference_tiled(trainer, ts, input_file, output_file, *,
                 npoints[ri] = len(ci)
             batch = {"coords": coords, "values": values, "labels": labels,
                      "npoints": npoints,
-                     "shape": np.full((n_rows, D), S, np.int32),
-                     "row_valid": (np.arange(n_rows) < len(rb)).astype(
-                         np.float32)}
+                     "shape": np.full((n_rows, D), S, np.int32)}
             dev = {k: jax.device_put(v, trainer._leaf_sharding(k))
                    for k, v in batch.items()}
             pending.append((rb, step(ts, dev)))
@@ -498,27 +563,21 @@ def _run_inference_tiled(trainer, ts, input_file, output_file, *,
                 npt = len(pl.values)
                 sc = buf.get((eidx, pid),
                              np.zeros((0, num_class), np.float32))
-                assert not np.isnan(sc).any(), \
-                    "tiled coverage hole: a point was owned by no tile"
+                if np.isnan(sc).any():
+                    # hard invariant (NOT an assert — under python -O a
+                    # coverage hole would argmax NaN rows to confident
+                    # class-0 exports with no error anywhere)
+                    raise RuntimeError(
+                        "tiled coverage hole: a point was owned by no tile "
+                        f"(event {eidx} plane {pid})")
                 pred_pts = (sc.argmax(-1) if npt else
                             np.zeros(0, np.int64))
-                # npz export: dedupe colliding points LAST-WINS at the
-                # ORIGINAL detector pixel, keep pixels whose clipped
-                # normalized value is positive, in sorted flat-index order
-                # (the same recipe as the single-window path, with the full
-                # detector plane as the window).
-                c64 = pl.coords.astype(np.int64)
-                flat = np.zeros(npt, np.int64)
-                for d in range(D):
-                    flat = flat * int(pl.shape[d]) + c64[:, d]
-                order = np.argsort(flat, kind="stable")
-                flat_s = flat[order]
-                keep = np.ones(npt, bool)
-                if npt:
-                    keep[:-1] = flat_s[1:] != flat_s[:-1]
-                sel = order[keep]
-                m2 = np.clip(pl.values[sel] * scale, 0.0, clip) > 0
-                sel = sel[m2]
+                # npz export via the shared selection recipe, with the full
+                # detector plane as the window (coords stay in ORIGINAL
+                # detector space — a single window is ambiguous here)
+                sel = _select_export_pixels(
+                    pl.coords.astype(np.int64), pl.values, pl.shape,
+                    scale=scale, clip=clip)
                 out_event.append(np.full(len(sel), eidx, np.int32))
                 out_plane.append(np.full(len(sel), pid, np.int32))
                 out_coords.append(pl.coords[sel].astype(np.int32))
@@ -635,17 +694,17 @@ def run_inference(
                       num_class=num_class, usef_events=[],
                       npz_columns=([], [], [], [], [], []))
         return metrics
-    if streamed or tiled:
+    if tiled:
+        # the tiled pass sizes its own pad length (busiest TILE, not plane)
+        return _run_inference_tiled(trainer, ts, input_file, output_file,
+                                    fmt=fmt, bs_events=bs_events)
+    if streamed:
         # pad length covering the busiest SELECTED plane (rounded up to 256
         # for TPU-friendly shapes): ana never truncates, unlike the
         # training wire whose max_points is a fixed-shape knob. Host path
         # densifies whole events and needs no scan (round-3 review).
         needed = ev.max_plane_points(input_file, planes)
         ana_points = max(cfg.data.max_points, ((needed + 255) // 256) * 256)
-    if tiled:
-        return _run_inference_tiled(trainer, ts, input_file, output_file,
-                                    fmt=fmt, bs_events=bs_events,
-                                    max_points=ana_points)
     if export == "sparse":
         return _run_inference_sparse(trainer, ts, input_file, output_file,
                                      fmt=fmt, bs_events=bs_events,

@@ -567,7 +567,9 @@ class Trainer:
         # harness thread); each process receives its own SIGTERM but only
         # the leader writes, like every other checkpoint.
         preempted = {"flag": False}
-        prev_sigterm = None
+        _NOT_INSTALLED = object()   # distinct from a None (C-level) handler
+        prev_sigterm = _NOT_INSTALLED
+        sync_preempt = None
         if cfg.train.preempt_save:
             import signal
 
@@ -577,7 +579,19 @@ class Trainer:
             try:
                 prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
             except ValueError:
-                prev_sigterm = None
+                prev_sigterm = _NOT_INSTALLED
+            if jax.process_count() > 1:
+                # SIGTERM delivery is per-process; without alignment hosts
+                # could break out of the SPMD loop at different steps and
+                # deadlock the others inside a collective — losing the very
+                # checkpoint this feature exists to write. One tiny
+                # allgather per step (multi-host only) makes the break step
+                # identical everywhere.
+                from jax.experimental import multihost_utils
+
+                def sync_preempt(local: bool) -> bool:
+                    return bool(multihost_utils.process_allgather(
+                        np.asarray(local, np.float32)).max())
         t_last = time.time()
         cursor_now = cursor
         try:
@@ -610,7 +624,9 @@ class Trainer:
                 if cfg.train.checkpoint_iter and step % cfg.train.checkpoint_iter == 0:
                     if main_process:
                         self.save(ts, step, cursor_now)
-                if preempted["flag"]:
+                hit = (sync_preempt(preempted["flag"]) if sync_preempt
+                       else preempted["flag"])
+                if hit:
                     if main_process:
                         path = self.save(ts, step, cursor_now)
                         print(f"[uresnet_tpu] SIGTERM: checkpoint saved at "
@@ -622,10 +638,16 @@ class Trainer:
                 if main_process:
                     self.save(ts, start_step + iters, cursor_now)
         finally:
-            if prev_sigterm is not None:
+            if prev_sigterm is not _NOT_INSTALLED:
                 import signal
 
-                signal.signal(signal.SIGTERM, prev_sigterm)
+                # a None previous handler means it was installed at the C
+                # level and cannot be re-installed from Python — restore
+                # SIG_DFL (terminate, the SIGTERM default) rather than
+                # leaving our dead flag-setting closure in place
+                signal.signal(signal.SIGTERM,
+                              prev_sigterm if prev_sigterm is not None
+                              else signal.SIG_DFL)
             # release BOTH loaders: worker threads and (for the C++ decoder)
             # the native handle must not leak per fit() call
             loader.stop()
