@@ -56,12 +56,14 @@ def resolve_input_files(cfg: DataConfig, ndims: int) -> list:
         return out
     if not cfg.synthetic:
         raise ValueError("no input files and synthetic=False")
-    from uresnet_tpu.data.synthetic import generate_file
+    from uresnet_tpu.data.synthetic import GEN_VERSION, generate_file
 
     shape = (max(cfg.image_size, 256),) * ndims
+    # GEN_VERSION in the key: a generator revision must never silently
+    # reuse a stale cache written by an older revision
     cache = os.path.join(
         tempfile.gettempdir(),
-        f"uresnet_synth_{ndims}d_{cfg.synthetic_events}"
+        f"uresnet_synth_g{GEN_VERSION}_{ndims}d_{cfg.synthetic_events}"
         f"_{shape[0]}_{cfg.seed}_p{'-'.join(map(str, cfg.planes))}.usef",
     )
     if not os.path.exists(cache):

@@ -24,6 +24,19 @@ import numpy as np
 
 from uresnet_tpu.data.events import SparseEvent, SparsePlane
 
+# Generator revision, part of the synthetic-cache filename
+# (loader.resolve_input_files): bump when generated events change so stale
+# /tmp caches from older revisions are never silently reused.
+# r2: realistic 3D occupancy — the original generator emitted the same
+# structure COUNTS in 3D as in 2D (~600 points), i.e. 0.003% of a 192^3
+# volume vs the ~0.1-1% of real voxelized LArTPC samples (and vs 0.23% in
+# our own 2D). That regime made batch-1 3D training statistically
+# degenerate (a handful of voxels carried class weights of ~14,000x; see
+# benchmarks/RESULTS.md round-3 "3D quality"). 3D events now carry
+# proportionally more tracks/showers and denser cascades; 2D output is
+# byte-identical to r1.
+GEN_VERSION = 2
+
 
 def _clip_points(coords: np.ndarray, shape: Tuple[int, ...]) -> np.ndarray:
     mask = np.ones(len(coords), bool)
@@ -56,7 +69,11 @@ def _track(rng: np.random.Generator, shape, ndims: int):
 
 
 def _shower(rng: np.random.Generator, shape, ndims: int):
-    """Branching cascade: points scattered in a cone with falling profile."""
+    """Branching cascade: points scattered in a cone with falling profile.
+
+    3D cascades carry more depositions (a cone section is a volume, not an
+    area): n scales so 3D occupancy lands in the realistic regime (see
+    GEN_VERSION note)."""
     start = np.array([rng.uniform(0.1 * s, 0.9 * s) for s in shape])
     theta = rng.uniform(0, 2 * np.pi)
     if ndims == 2:
@@ -65,7 +82,11 @@ def _shower(rng: np.random.Generator, shape, ndims: int):
         phi = rng.uniform(0, np.pi)
         axis = np.array([np.sin(phi) * np.sin(theta),
                          np.sin(phi) * np.cos(theta), np.cos(phi)])
-    n = rng.integers(40, 250)
+    if ndims == 3:
+        sc = min(shape) / 256.0        # extent-scaled cascade density
+        n = rng.integers(max(50, int(200 * sc)), max(120, int(1200 * sc)))
+    else:
+        n = rng.integers(40, 250)
     depth = rng.uniform(0.05, 0.35) * min(shape) * rng.beta(2.0, 2.0, n)
     spread = depth * rng.uniform(0.15, 0.45)
     noise = rng.standard_normal((n, ndims)) * spread[:, None]
@@ -85,8 +106,21 @@ def generate_event(
 ) -> SparseEvent:
     ndims = len(shape)
     out_planes: List[SparsePlane] = []
-    n_tracks = int(rng.integers(1, 4))
-    n_showers = int(rng.integers(1, 3))
+    if ndims == 3:
+        # realistic 3D multiplicity (GEN_VERSION note): ~2k-20k voxels per
+        # 192^3-256^3 event, matching the occupancy regime of public
+        # voxelized LArTPC samples rather than a 2D event's structure
+        # count; extent-scaled so small test volumes stay proportionate
+        sc = min(shape) / 256.0
+        n_tracks = int(rng.integers(max(2, round(8 * sc)),
+                                    max(5, round(24 * sc) + 1)))
+        n_showers = int(rng.integers(max(1, round(4 * sc)),
+                                     max(3, round(12 * sc) + 1)))
+        if noise_points == 30:          # the default; explicit values win
+            noise_points = max(50, int(200 * sc))
+    else:
+        n_tracks = int(rng.integers(1, 4))
+        n_showers = int(rng.integers(1, 3))
     for plane_id in planes:
         coords_l, vals_l, labs_l = [], [], []
         for _ in range(n_tracks):
