@@ -402,3 +402,156 @@ def test_fit_with_exact_validation(tmp_path):
     assert vm["n_events"] == 16              # the whole held-out set, once
     assert vm["n_pixels"] == 16 * 32 * 32
     assert np.isfinite(vm["miou"])
+
+
+# -- fine-tuning: optim.freeze + train.load_params_only (SURVEY.md §2.1
+# -- model assembly: the reference's `trainable` knob + restore-then-retrain)
+
+def _leaf_paths(tree):
+    from uresnet_tpu.engine.checkpoint import _path_str
+
+    return {_path_str(p): np.asarray(l)
+            for p, l in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def test_freeze_leaves_untouched(tmp_path):
+    """Frozen leaves (params AND Adam moments) stay bit-identical through
+    real train steps — even under weight_decay, which would drift them if
+    freezing only zeroed the grads — while every unfrozen leaf moves."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, optim=OptimConfig(lr=3e-3, weight_decay=1e-2,
+                               freeze=("head", r"bn/scale$")))
+    tr = Trainer(cfg, mesh=make_mesh(1))
+    ts0 = tr.init_state()
+    before = _leaf_paths(ts0.params)
+    s0 = _leaf_paths(ts0.model_state)  # before donation deletes ts0
+    batch = fixed_batch(jax.random.PRNGKey(2), cfg)
+    ts = ts0
+    for _ in range(3):
+        ts, _ = tr.train_step(ts, batch)
+    after = _leaf_paths(ts.params)
+    mu = _leaf_paths(ts.opt.mu)
+    frozen = [k for k in before
+              if k.startswith("head") or k.endswith("bn/scale")]
+    assert frozen, "pattern sanity"
+    for k in before:
+        if k in frozen:
+            np.testing.assert_array_equal(before[k], after[k], err_msg=k)
+            assert not mu[k].any(), f"moment updated for frozen leaf {k}"
+        else:
+            assert (before[k] != after[k]).any(), f"unfrozen leaf stuck: {k}"
+    # BN running stats still update in train mode (TF1 update-ops semantics)
+    s1 = _leaf_paths(ts.model_state)
+    assert any((s0[k] != s1[k]).any() for k in s0)
+
+
+def test_freeze_pattern_validation(tmp_path):
+    import dataclasses
+
+    cfg = tiny_config(tmp_path)
+    bad = dataclasses.replace(cfg, optim=OptimConfig(freeze=("nonexistent",)))
+    with pytest.raises(ValueError, match="match no param leaf"):
+        Trainer(bad, mesh=make_mesh(1))._freeze
+    total = dataclasses.replace(cfg, optim=OptimConfig(freeze=(".",)))
+    with pytest.raises(ValueError, match="EVERY param leaf"):
+        Trainer(total, mesh=make_mesh(1))._freeze
+
+
+def test_freeze_excluded_from_clip_norm():
+    """Frozen grads must not inflate grad_clip_norm's global norm (TF1
+    var_list semantics): freezing leaf b == literally zeroing b's grad."""
+    params = {"a": jnp.asarray([1.0, 2.0]), "b": jnp.asarray([4.0])}
+    grads = {"a": jnp.asarray([3.0, 0.0]), "b": jnp.asarray([400.0])}
+    cfg = OptimConfig(lr=0.1, grad_clip_norm=1.0)
+    frozen, _ = adam_update(grads, adam_init(params), params, cfg,
+                            freeze={"a": False, "b": True})
+    zeroed, _ = adam_update({"a": grads["a"], "b": jnp.zeros(1)},
+                            adam_init(params), params, cfg)
+    np.testing.assert_array_equal(np.asarray(frozen["a"]),
+                                  np.asarray(zeroed["a"]))
+    np.testing.assert_array_equal(np.asarray(frozen["b"]),
+                                  np.asarray(params["b"]))
+
+
+def test_load_params_only(tmp_path):
+    """train.load_params_only: pretrained params + BN stats, FRESH
+    optimizer/PRNG at step 0 — and it applies ONLY to load_file, never to
+    the run's own checkpoints."""
+    import dataclasses
+
+    cfg = tiny_config(tmp_path)
+    tr = Trainer(cfg, mesh=make_mesh(1))
+    ts = tr.init_state()
+    batch = fixed_batch(jax.random.PRNGKey(3), cfg)
+    for _ in range(3):
+        ts, _ = tr.train_step(ts, batch)
+    path = tr.save(ts, 3, data_cursor=7)
+
+    ft_dir = str(tmp_path / "ft_ckpt")
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, load_file=path,
+                                       load_params_only=True,
+                                       checkpoint_dir=ft_dir))
+    tr2 = Trainer(cfg2, mesh=make_mesh(1))
+    ts2, step, cursor = tr2.restore()
+    assert step == 0 and cursor == 0
+    for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ts.model_state),
+                    jax.tree.leaves(ts2.model_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ts2.opt.step) == 0
+    assert not any(np.asarray(l).any() for l in jax.tree.leaves(ts2.opt.mu))
+    np.testing.assert_array_equal(
+        np.asarray(ts2.key),
+        np.asarray(tr2._host_state(cfg2.train.seed).key))
+
+    # the fine-tune run's OWN checkpoints restore fully
+    tr2.save(ts, 5, data_cursor=9)
+    ts3, step3, cursor3 = tr2.restore(
+        __import__("uresnet_tpu.engine.checkpoint",
+                   fromlist=["latest_checkpoint"]).latest_checkpoint(ft_dir))
+    assert step3 == 5 and cursor3 == 9
+    assert int(ts3.opt.step) == int(ts.opt.step)
+
+
+def test_resume_prefers_own_checkpoint_over_load_file(tmp_path):
+    """fit(--resume) must pick up the run's latest checkpoint, not reload
+    train.load_file (a preempted fine-tune restart would otherwise silently
+    lose progress)."""
+    import dataclasses
+
+    from uresnet_tpu.engine.checkpoint import latest_checkpoint
+
+    cfg = tiny_config(tmp_path)
+    tr = Trainer(cfg, mesh=make_mesh(1))
+    ts = tr.init_state()
+    pre = tr.save(ts, 3)
+
+    ft_dir = str(tmp_path / "ft2_ckpt")
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, load_file=pre,
+                                       load_params_only=True,
+                                       checkpoint_dir=ft_dir,
+                                       checkpoint_iter=2))
+    tr2 = Trainer(cfg2, mesh=make_mesh(1))
+    tr2.fit(iterations=2, log=False)          # params-only start at 0, saves step 2
+    assert latest_checkpoint(ft_dir)
+
+    seen = {}
+    real = tr2.restore
+    own_latest = latest_checkpoint(ft_dir)          # step 2, the run's own
+
+    def spy(path=None):
+        seen["path"] = path
+        return real(path)
+
+    tr2.restore = spy
+    tr2.fit(iterations=2, resume=True, log=False)   # 2 MORE steps from 2
+    assert seen["path"] == own_latest
+    # resumed at 2 and advanced to 4; a wrong load_file restart would have
+    # begun at 0 again and left the latest checkpoint at step 2
+    assert latest_checkpoint(ft_dir).endswith("step_00000004.npz")

@@ -100,6 +100,20 @@ class OptimConfig:
     eps: float = 1e-8
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0      # 0 = off
+    freeze: Tuple[str, ...] = ()     # regex patterns over param leaf paths
+                                     # (checkpoint naming, e.g. 'head',
+                                     # 'enc0_block1', 'bn/scale$' — see
+                                     # tools/ckpt_info.py for the names).
+                                     # Matched leaves receive NO update
+                                     # (params AND Adam moments untouched;
+                                     # frozen grads excluded from
+                                     # grad_clip_norm) — the reference's
+                                     # `trainable` knob (SURVEY.md §2.1
+                                     # model assembly) for fine-tuning.
+                                     # A pattern matching nothing is an
+                                     # error. BN running stats still update
+                                     # (TF1 semantics: update-ops run
+                                     # whenever training=True).
 
 
 @dataclass
@@ -117,6 +131,16 @@ class TrainConfig:
     checkpoint_dir: str = "ckpt"
     log_dir: str = "log"
     load_file: str = ""              # checkpoint path to restore
+    load_params_only: bool = False   # fine-tune semantics for load_file:
+                                     # restore params + BN stats only, with
+                                     # a FRESH optimizer/PRNG at step 0
+                                     # (reference workflow: restore a
+                                     # pretrained net, re-train — pair with
+                                     # optim.freeze to emulate
+                                     # trainable=False subgraphs). Applies
+                                     # ONLY when the restored path IS
+                                     # load_file; the run's own checkpoints
+                                     # (--resume) always restore fully.
     preempt_save: bool = True        # on SIGTERM during fit (preemptible
                                      # TPU VMs send it before reclaim):
                                      # finish the in-flight step, write a

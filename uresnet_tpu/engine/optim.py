@@ -46,6 +46,43 @@ def make_schedule(cfg: OptimConfig) -> Callable[[jax.Array], jax.Array]:
     return sched
 
 
+def freeze_mask(params: Any, patterns) -> Any:
+    """Build the ``freeze`` pytree for :func:`adam_update` from regex
+    patterns (cfg.optim.freeze — the reference's `trainable` knob,
+    SURVEY.md §2.1 model assembly). Each pattern is ``re.search``-ed against
+    the leaf's checkpoint-style path (engine/checkpoint._path_str — the same
+    names tools/ckpt_info.py prints, e.g. ``stem/conv``,
+    ``enc0_block1/cb1/bn/scale``, ``head``). Returns a pytree of Python
+    bools (True = frozen). A pattern matching NO leaf raises — a silent
+    no-op freeze would be a training bug."""
+    import re
+
+    from uresnet_tpu.engine.checkpoint import _path_str
+
+    compiled = [(p, re.compile(p)) for p in patterns]
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    hits = {p: 0 for p, _ in compiled}
+    mask = []
+    for path, _ in leaves:
+        name = _path_str(path)
+        frozen = False
+        for p, rx in compiled:
+            if rx.search(name):
+                frozen = True
+                hits[p] += 1
+        mask.append(frozen)
+    dead = [p for p, n in hits.items() if n == 0]
+    if dead:
+        names = [_path_str(path) for path, _ in leaves]
+        raise ValueError(
+            f"optim.freeze patterns {dead} match no param leaf; available "
+            f"paths (first 10): {names[:10]}")
+    if all(mask):
+        raise ValueError(
+            "optim.freeze freezes EVERY param leaf — nothing would train")
+    return jax.tree_util.tree_unflatten(treedef, mask)
+
+
 def adam_init(params: Any) -> AdamState:
     zeros = lambda p: jnp.zeros_like(p)
     return AdamState(
@@ -65,10 +102,21 @@ def adam_update(
     opt_state: AdamState,
     params: Any,
     cfg: OptimConfig,
+    freeze: Any = None,
 ) -> Tuple[Any, AdamState]:
     """Adam or RMSProp update (cfg.optimizer; SURVEY.md §2.1 notes the
     reference's optimizer is Adam [K:low — could be RMSProp], so both ship).
-    Returns (new_params, new_state). Pure; safe under jit/pjit."""
+    Returns (new_params, new_state). Pure; safe under jit/pjit.
+
+    ``freeze``: optional pytree of Python bools matching ``params`` (True =
+    frozen). Frozen leaves are exactly untouched — params, mu AND nu — and
+    their grads are zeroed BEFORE grad_clip_norm, so the global norm covers
+    trainable leaves only (TF1 var_list semantics: non-trainable variables
+    never reach the optimizer). The bools are static, so XLA compiles the
+    masking away entirely."""
+    if freeze is not None:
+        grads = jax.tree.map(
+            lambda f, g: jnp.zeros_like(g) if f else g, freeze, grads)
     step = opt_state.step + 1
     sched = make_schedule(cfg)
     lr = sched(step)
@@ -79,6 +127,15 @@ def adam_update(
         grads = jax.tree.map(lambda g: g * scale, grads)
 
     b1, b2, eps = cfg.b1, cfg.b2, cfg.eps
+
+    def _keep_frozen(new_tree, old_tree):
+        # exact freeze: frozen leaves keep their previous value bit-for-bit
+        # (zeroed grads alone would still drift them via weight_decay and,
+        # after a warm restore, via nonzero-moment decay)
+        if freeze is None:
+            return new_tree
+        return jax.tree.map(
+            lambda f, new, old: old if f else new, freeze, new_tree, old_tree)
 
     if cfg.optimizer == "rmsprop":
         # TF1 RMSPropOptimizer semantics: decay=b2, no momentum term
@@ -91,7 +148,9 @@ def adam_update(
                 u = u + cfg.weight_decay * p
             return (p - lr * u).astype(p.dtype)
 
-        new_params = jax.tree.map(upd_rms, params, grads, nu)
+        new_params = _keep_frozen(jax.tree.map(upd_rms, params, grads, nu),
+                                  params)
+        nu = _keep_frozen(nu, opt_state.nu)
         return new_params, AdamState(step=step, mu=opt_state.mu, nu=nu)
 
     if cfg.optimizer != "adam":
@@ -110,5 +169,7 @@ def adam_update(
             u = u + cfg.weight_decay * p
         return (p - lr * u).astype(p.dtype)
 
-    new_params = jax.tree.map(upd, params, mu, nu)
+    new_params = _keep_frozen(jax.tree.map(upd, params, mu, nu), params)
+    mu = _keep_frozen(mu, opt_state.mu)
+    nu = _keep_frozen(nu, opt_state.nu)
     return new_params, AdamState(step=step, mu=mu, nu=nu)

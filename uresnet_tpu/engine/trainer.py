@@ -31,7 +31,8 @@ from uresnet_tpu.engine.augment import augment_batch
 from uresnet_tpu.engine.logging import MetricsLogger
 from uresnet_tpu.engine.losses import weighted_softmax_xent
 from uresnet_tpu.engine.metrics import segmentation_metrics
-from uresnet_tpu.engine.optim import AdamState, adam_init, adam_update
+from uresnet_tpu.engine.optim import (AdamState, adam_init, adam_update,
+                                      freeze_mask)
 from uresnet_tpu.models.uresnet import uresnet_apply, uresnet_init
 from uresnet_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 
@@ -120,6 +121,8 @@ class Trainer:
             self.mesh, spatial_dim=1 if self._spatial_n > 1 else None)
         self._bsh_data_only = batch_sharding(self.mesh)
         self._compiled: Dict[str, Any] = {}
+        if cfg.optim.freeze:
+            self._freeze  # validate the patterns LOUDLY before any training
         self.loader: Optional[BatchLoader] = None
         self.val_loader: Optional[BatchLoader] = None
 
@@ -177,6 +180,20 @@ class Trainer:
             abstract = jax.eval_shape(lambda: self._host_state(seed))
             self._compiled["ts_sh"] = tp_state_shardings(self.mesh, abstract)
         return self._compiled["ts_sh"]
+
+    @property
+    def _freeze(self):
+        """Static bool pytree over params for cfg.optim.freeze (the
+        reference's `trainable` knob, SURVEY.md §2.1); None when unset.
+        Cached in _compiled so a cfg swap rebuilds it with the executables."""
+        if not self.cfg.optim.freeze:
+            return None
+        if "freeze" not in self._compiled:
+            abstract = jax.eval_shape(
+                lambda: self._host_state(self.cfg.train.seed)).params
+            self._compiled["freeze"] = freeze_mask(
+                abstract, self.cfg.optim.freeze)
+        return self._compiled["freeze"]
 
     def init_state(self, seed: Optional[int] = None) -> TrainState:
         seed = self.cfg.train.seed if seed is None else seed
@@ -274,7 +291,8 @@ class Trainer:
             batch = augment_batch(k_aug, batch, dims=self.cfg.model.dims)
         (loss, ((logits, labels), mstate)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(ts.params, ts.model_state, batch, True)
-        params, opt = adam_update(grads, ts.opt, ts.params, self.cfg.optim)
+        params, opt = adam_update(grads, ts.opt, ts.params, self.cfg.optim,
+                                  freeze=self._freeze)
         # metrics (argmax + per-class IoU passes over the full batch) are
         # only read every summary_iter steps — the hot step skips them
         metrics = {"loss": loss}
@@ -505,8 +523,28 @@ class Trainer:
                     jax.device_get(self._host_state(self.cfg.train.seed)),
                     "meta": {"step": np.int64(0), "data_cursor": np.int64(0)}}
         tree = ckpt.load_checkpoint(path, template)
-        ts = jax.device_put(TrainState(*tree["train_state"]), self._ts_sh)
+        loaded = TrainState(*tree["train_state"])
+        if self._params_only_path(path):
+            # fine-tune restore (train.load_params_only): pretrained params
+            # + BN stats with a FRESH optimizer/PRNG at step 0 — the
+            # reference's restore-then-retrain workflow. Only the pretrained
+            # load_file gets this; the run's own checkpoints resume fully.
+            fresh = TrainState(*template["train_state"])
+            loaded = TrainState(params=loaded.params,
+                                model_state=loaded.model_state,
+                                opt=adam_init(loaded.params),
+                                key=fresh.key)
+            ts = jax.device_put(loaded, self._ts_sh)
+            return ts, 0, 0
+        ts = jax.device_put(loaded, self._ts_sh)
         return ts, int(tree["meta"]["step"]), int(tree["meta"]["data_cursor"])
+
+    def _params_only_path(self, path: str) -> bool:
+        import os
+
+        lf = self.cfg.train.load_file
+        return (self.cfg.train.load_params_only and bool(lf)
+                and os.path.abspath(path) == os.path.abspath(lf))
 
     # -- fit loop ---------------------------------------------------------------
 
@@ -517,7 +555,12 @@ class Trainer:
         start_step, cursor = 0, 0
         if resume or cfg.train.load_file:
             try:
-                ts, start_step, cursor = self.restore()
+                # --resume prefers the run's OWN latest checkpoint over
+                # train.load_file: a preempted fine-tune restart must not
+                # silently reload the pretrained file and lose progress
+                path = (ckpt.latest_checkpoint(cfg.train.checkpoint_dir)
+                        if resume else None)
+                ts, start_step, cursor = self.restore(path)
             except FileNotFoundError:
                 ts = self.init_state()
         else:
