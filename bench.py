@@ -49,6 +49,10 @@ def main():
                    help="3 = 3D U-ResNet on volumes (BASELINE config 4)")
     p.add_argument("--infer", action="store_true",
                    help="benchmark the inference forward instead of training")
+    p.add_argument("--freeze", default=None,
+                   help="comma-separated optim.freeze patterns (fine-tune "
+                        "mode: frozen leaves' weight-grad computations are "
+                        "stop_gradient-pruned from the backward pass)")
     args = p.parse_args()
 
     import jax
@@ -90,7 +94,9 @@ def main():
                              if args.pack_threshold is not None else {}),
                           remat=remat),
         data=DataConfig(image_size=size, batch_size=batch, planes=(0,)),
-        optim=OptimConfig(lr=1e-3),
+        optim=OptimConfig(lr=1e-3,
+                          freeze=tuple(args.freeze.split(","))
+                          if args.freeze else ()),
         train=TrainConfig(seed=0),
     )
     trainer = Trainer(cfg, mesh=make_mesh())
@@ -201,8 +207,9 @@ def main():
         if key in base and base[key] > 0:
             vs_baseline = images_per_sec_per_chip / base[key]
 
+    tag = "_freeze" if args.freeze else ""
     print(json.dumps({
-        "metric": f"train_images_per_sec_per_chip_{size}x{size}_{args.dims}d",
+        "metric": f"train_images_per_sec_per_chip_{size}x{size}_{args.dims}d{tag}",
         "value": round(images_per_sec_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else 0.0,

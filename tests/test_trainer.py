@@ -555,3 +555,55 @@ def test_resume_prefers_own_checkpoint_over_load_file(tmp_path):
     # resumed at 2 and advanced to 4; a wrong load_file restart would have
     # begun at 0 again and left the latest checkpoint at step 2
     assert latest_checkpoint(ft_dir).endswith("step_00000004.npz")
+
+
+def test_freeze_stop_gradient_matches_masked_update(tmp_path):
+    """The backward-pruning path (stop_gradient on frozen leaves, which lets
+    XLA DCE their weight-grad computations) must compute the same thing as
+    the naive path (full value_and_grad, frozen grads zeroed): frozen grads
+    come out EXACTLY zero, unfrozen grads and the loss agree to f32
+    reduction-order noise. (Post-Adam params are NOT compared element-wise:
+    g/(|g|+eps) amplifies noise on near-zero grads; the optimizer-side
+    semantics are pinned separately in test_freeze_excluded_from_clip_norm
+    and the end-to-end behavior in test_freeze_leaves_untouched.)"""
+    import dataclasses
+
+    from uresnet_tpu.engine.optim import freeze_mask
+
+    cfg = tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, optim=OptimConfig(lr=3e-3, weight_decay=1e-2,
+                               grad_clip_norm=1.0, freeze=("enc", "stem")))
+    tr = Trainer(cfg, mesh=make_mesh(1))
+    ts = tr.init_state()
+    batch = fixed_batch(jax.random.PRNGKey(7), cfg)
+    frz = tr._freeze
+
+    def pruned_loss(params, mstate, b, train):
+        # exactly the wrapper _train_step installs when optim.freeze is set
+        params = jax.tree.map(
+            lambda f, p: jax.lax.stop_gradient(p) if f else p, frz, params)
+        return tr._loss_fn(params, mstate, b, train)
+
+    (l1, _), g_pruned = jax.value_and_grad(pruned_loss, has_aux=True)(
+        ts.params, ts.model_state, batch, True)
+    (l2, _), g_naive = jax.value_and_grad(tr._loss_fn, has_aux=True)(
+        ts.params, ts.model_state, batch, True)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    gp = jax.tree_util.tree_leaves_with_path(g_pruned)
+    gn = jax.tree.leaves(g_naive)
+    fz = jax.tree.leaves(frz)
+    assert any(fz) and not all(fz)
+    for (path, a), b, f in zip(gp, gn, fz):
+        a, b = np.asarray(a), np.asarray(b)
+        if f:
+            assert not a.any(), f"frozen grad not pruned to zero: {path}"
+            assert b.any(), f"oracle grad unexpectedly zero: {path}"
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6,
+                                       err_msg=str(path))
+
+    # and the real train_step runs the pruned path end-to-end
+    ts1, m1 = tr.train_step(ts, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(l2), rtol=1e-5)

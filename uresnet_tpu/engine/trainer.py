@@ -289,8 +289,26 @@ class Trainer:
             packed_targets=sparse and self._loss_phases > 1)
         if self.cfg.data.augment and not sparse:
             batch = augment_batch(k_aug, batch, dims=self.cfg.model.dims)
+        loss_fn = self._loss_fn
+        if self._freeze is not None:
+            # stop_gradient on frozen leaves BEFORE the forward: their grads
+            # come out as exact zeros and XLA dead-code-eliminates the whole
+            # weight-grad computation for those convs — freezing prunes the
+            # backward pass, it doesn't just mask the update. Activation
+            # gradients still flow THROUGH frozen layers to earlier
+            # trainable params (stop_gradient cuts only the param->output
+            # edge). adam_update's freeze masking stays as the exactness
+            # guarantee (moments + weight_decay untouched bit-for-bit).
+            frz = self._freeze
+
+            def loss_fn(params, mstate, batch, train):
+                params = jax.tree.map(
+                    lambda f, p: jax.lax.stop_gradient(p) if f else p,
+                    frz, params)
+                return self._loss_fn(params, mstate, batch, train)
+
         (loss, ((logits, labels), mstate)), grads = jax.value_and_grad(
-            self._loss_fn, has_aux=True)(ts.params, ts.model_state, batch, True)
+            loss_fn, has_aux=True)(ts.params, ts.model_state, batch, True)
         params, opt = adam_update(grads, ts.opt, ts.params, self.cfg.optim,
                                   freeze=self._freeze)
         # metrics (argmax + per-class IoU passes over the full batch) are
