@@ -116,3 +116,107 @@ def test_batchnorm_eval_uses_running_stats(rng):
     want = (x - np.asarray(state["mean"])) / np.sqrt(np.asarray(state["var"]))
     np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-4)
     assert s2 is state
+
+
+# -- bf16 convs with f32 weight gradients (ops/conv.py `_conv_f32wgrad`) -----
+#
+# The custom VJP must be invisible in the forward and in dx (bit-identical
+# to stock AD of the bf16 conv) while removing the bf16 quantization of dw.
+# Motivation: the packed "same" relabel puts each canonical weight in
+# 2^dims kernel slots, so stock AD sums 2^dims INDEPENDENTLY bf16-rounded
+# dw partials. (Strictly better numerics at zero cost; measured NOT
+# sufficient alone to fix the packed-bf16 96^3 3D divergence —
+# benchmarks/RESULTS.md "3D bf16".)
+
+
+def _stock_bf16_conv(x, w, stride, dims, transpose=False):
+    from uresnet_tpu.ops.conv import _dim_numbers
+    from jax import lax
+    xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    if transpose:
+        return lax.conv_transpose(xb, wb, (stride,) * dims, "SAME",
+                                  dimension_numbers=_dim_numbers(dims))
+    return lax.conv_general_dilated(xb, wb, (stride,) * dims, "SAME",
+                                    dimension_numbers=_dim_numbers(dims))
+
+
+@pytest.mark.parametrize("dims,stride,transpose", [
+    (2, 1, False), (2, 2, False), (3, 2, False), (2, 2, True), (3, 2, True),
+])
+def test_f32wgrad_forward_and_dx_bit_identical(rng, dims, stride, transpose):
+    from uresnet_tpu.ops.conv import conv_general
+    shape = (2,) + (8,) * dims + (4,)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3,) * dims + (4, 6)), jnp.float32) * 0.1
+    kind = "convt" if transpose else "conv"
+    y = conv_general(x, w, strides=stride, padding="SAME", dims=dims,
+                     compute_dtype=jnp.bfloat16, kind=kind)
+    y_stock = _stock_bf16_conv(x, w, stride, dims, transpose)
+    assert y.dtype == jnp.bfloat16
+    assert bool((y == y_stock).all())
+
+    def custom_sum(xx):
+        return jnp.sum(conv_general(xx, w, strides=stride, padding="SAME",
+                                    dims=dims, compute_dtype=jnp.bfloat16,
+                                    kind=kind).astype(jnp.float32) ** 2)
+
+    def stock_sum(xx):
+        return jnp.sum(_stock_bf16_conv(xx, w, stride, dims,
+                                        transpose).astype(jnp.float32) ** 2)
+
+    dx_c = jax.grad(custom_sum)(x)
+    dx_s = jax.grad(stock_sum)(x)
+    assert bool((dx_c == dx_s).all())
+
+
+def test_f32wgrad_dw_is_unquantized(rng):
+    """dw from the custom path equals the f32-operand oracle exactly on CPU
+    (where DEFAULT f32 convs are true f32), while stock AD's dw differs by
+    bf16 quantization."""
+    from uresnet_tpu.ops.conv import conv_general, _dim_numbers
+    from jax import lax
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 6)), jnp.float32) * 0.1
+
+    def custom_loss(ww):
+        return jnp.sum(conv_general(x, ww, strides=1, padding="SAME", dims=2,
+                                    compute_dtype=jnp.bfloat16)
+                       .astype(jnp.float32) ** 2)
+
+    def stock_loss(ww):
+        return jnp.sum(_stock_bf16_conv(x, ww, 1, 2).astype(jnp.float32) ** 2)
+
+    dw_c = jax.grad(custom_loss)(w)
+    dw_s = jax.grad(stock_loss)(w)
+    assert dw_c.dtype == jnp.float32
+
+    # oracle: identical cotangent chain, but the dw conv runs with f32
+    # operands (bf16-rounded values) — what the custom bwd computes
+    y = _stock_bf16_conv(x, w, 1, 2)
+    g = (2.0 * y.astype(jnp.float32)).astype(jnp.bfloat16)  # cotangent at y
+    _, vjp_w = jax.vjp(
+        lambda ww: lax.conv_general_dilated(
+            x.astype(jnp.bfloat16).astype(jnp.float32), ww, (1, 1), "SAME",
+            dimension_numbers=_dim_numbers(2)),
+        w)
+    dw_oracle, = vjp_w(g.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(dw_c), np.asarray(dw_oracle))
+    # and stock differs from the oracle exactly by its bf16 rounding
+    assert bool((dw_s != dw_oracle).any())
+    np.testing.assert_array_equal(
+        np.asarray(dw_s), np.asarray(dw_oracle.astype(jnp.bfloat16)
+                                     .astype(jnp.float32)))
+
+
+def test_f32_mode_bypasses_custom_vjp(rng):
+    """f32 compute keeps the plain HIGHEST-precision primitive bitwise."""
+    from uresnet_tpu.ops.conv import conv_general, _dim_numbers
+    from jax import lax
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 5)), jnp.float32)
+    y = conv_general(x, w, strides=1, padding="SAME", dims=2,
+                     compute_dtype=jnp.float32)
+    y_old = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=_dim_numbers(2),
+        precision=lax.Precision.HIGHEST)
+    assert bool((y == y_old).all())

@@ -16,6 +16,8 @@ checkpoints, so TF's (k, k, out, in) layout is not mirrored).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -59,6 +61,100 @@ def _precision(compute_dtype):
     return lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
 
 
+# -- bf16 convs with UNQUANTIZED (f32) weight gradients ----------------------
+#
+# Stock AD of `conv(x.astype(bf16), w.astype(bf16))` quantizes the weight
+# gradient to bf16: the conv-backward dw pass must emit the operand dtype
+# (bf16), and only then does the `astype` transpose upcast to f32 — every
+# weight grad loses its mantissa below 8 bits BEFORE Adam sees it. For the
+# packed layouts this is amplified: each canonical weight of a stride-1
+# kernel occupies 2^dims packed-kernel slots (ops/pack.py `_dim_tables`
+# "same": 2 slots/dim), so its gradient is a sum of 2^dims INDEPENDENTLY
+# bf16-quantized partials — ~sqrt(8)x the rounding noise of the canonical
+# layout in 3D.
+#
+# The custom VJP keeps the forward and the data gradient EXACTLY as stock
+# (bf16 in / bf16 out), but computes the weight gradient with f32 operands
+# at DEFAULT precision — the TPU runs the same single bf16 MXU pass
+# (identical products), just accumulating into an f32 output with no final
+# bf16 rounding. Zero extra FLOPs; the only cost is the f32 copies the dw
+# conv reads. The custom boundary includes the w.astype(bf16) cast so the
+# returned cotangent is legally f32.
+#
+# Honest status (benchmarks/RESULTS.md "3D bf16"): this removes a real
+# rounding amplifier and is kept as strictly-better-numerics-at-zero-cost,
+# but it is measured NOT sufficient by itself to rescue packed-bf16 96^3
+# training (which diverges at every seed while canonical-bf16 and
+# packed-f32 converge) — see RESULTS.md for the follow-up investigation.
+#
+# NOTE (CLAUDE.md invariant): `preferred_element_type=f32` on a
+# differentiated conv breaks the TPU backward — here it is never needed:
+# both backward convs are first-order calls with uniform operand dtypes.
+
+
+def _run_conv(kind, x, w, strides, padding, dn, precision):
+    if kind == "conv":
+        return lax.conv_general_dilated(
+            x, w, window_strides=strides, padding=padding,
+            dimension_numbers=dn, precision=precision)
+    if kind == "convt":
+        return lax.conv_transpose(
+            x, w, strides=strides, padding=padding,
+            dimension_numbers=dn, precision=precision)
+    raise ValueError(kind)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _conv_f32wgrad(x, w32, kind, strides, padding, dn, cdt_name):
+    return _run_conv(kind, x, w32.astype(jnp.dtype(cdt_name)), strides,
+                     padding, dn, None)
+
+
+def _conv_f32wgrad_fwd(x, w32, kind, strides, padding, dn, cdt_name):
+    y = _conv_f32wgrad(x, w32, kind, strides, padding, dn, cdt_name)
+    return y, (x, w32)
+
+
+def _conv_f32wgrad_bwd(kind, strides, padding, dn, cdt_name, res, g):
+    x, w32 = res
+    cdt = jnp.dtype(cdt_name)
+    # dx: bit-identical to the stock backward (bf16 operands/output)
+    _, vjp_x = jax.vjp(
+        lambda xx: _run_conv(kind, xx, w32.astype(cdt), strides, padding,
+                             dn, None), x)
+    dx, = vjp_x(g)
+    # dw: f32 operands, DEFAULT precision = the same bf16 multiply pass,
+    # f32 accumulation and OUTPUT — the weight grad is never bf16-rounded
+    _, vjp_w = jax.vjp(
+        lambda ww: _run_conv(kind, x.astype(jnp.float32), ww, strides,
+                             padding, dn, None), w32.astype(jnp.float32))
+    dw, = vjp_w(g.astype(jnp.float32))
+    return dx, dw.astype(w32.dtype)
+
+
+_conv_f32wgrad.defvjp(_conv_f32wgrad_fwd, _conv_f32wgrad_bwd)
+
+
+def conv_general(x, w, *, strides, padding, dims, compute_dtype,
+                 precision=None, kind="conv"):
+    """The one conv entry point: same semantics as
+    ``_run_conv(kind, x.astype(cdt), w.astype(cdt), ...)`` but in bf16 mode
+    the weight gradient is computed in f32 (see above). f32 mode (or an
+    explicit ``precision``) keeps the plain primitive so the golden / parity
+    gates see true f32 numerics end to end."""
+    cdt = jnp.dtype(compute_dtype)
+    dn = _dim_numbers(dims)
+    if isinstance(padding, tuple) and padding and isinstance(padding[0], int):
+        padding = (padding,) * dims
+    strides = strides if isinstance(strides, tuple) else (strides,) * dims
+    if cdt == jnp.float32 or precision is not None:
+        return _run_conv(kind, x.astype(cdt), w.astype(cdt), strides,
+                         padding, dn,
+                         precision if precision is not None else _precision(cdt))
+    return _conv_f32wgrad(x.astype(cdt), w.astype(jnp.float32), kind,
+                          strides, padding, dn, cdt.name)
+
+
 def conv(
     x: jax.Array,
     params: dict,
@@ -77,14 +173,8 @@ def conv(
     on TPU) for the golden/parity gates.
     """
     w = params["w"]
-    out = lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        w.astype(compute_dtype),
-        window_strides=(stride,) * dims,
-        padding="SAME",
-        dimension_numbers=_dim_numbers(dims),
-        precision=_precision(compute_dtype),
-    )
+    out = conv_general(x, w, strides=stride, padding="SAME", dims=dims,
+                       compute_dtype=compute_dtype)
     if "b" in params:
         out = out + params["b"].astype(out.dtype)
     return out
@@ -100,14 +190,8 @@ def conv_transpose(
 ) -> jax.Array:
     """SAME-padded fractionally-strided conv: (B, *S, C) -> (B, *S*stride, C')."""
     w = params["w"]
-    out = lax.conv_transpose(
-        x.astype(compute_dtype),
-        w.astype(compute_dtype),
-        strides=(stride,) * dims,
-        padding="SAME",
-        dimension_numbers=_dim_numbers(dims),
-        precision=_precision(compute_dtype),
-    )
+    out = conv_general(x, w, strides=stride, padding="SAME", dims=dims,
+                       compute_dtype=compute_dtype, kind="convt")
     if "b" in params:
         out = out + params["b"].astype(out.dtype)
     return out

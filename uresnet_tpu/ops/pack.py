@@ -282,13 +282,13 @@ def pack_weight_up_h(wu: jax.Array) -> jax.Array:
 
 def conv_packed(xp, wp, *, padding, stride=1, dims=2, compute_dtype,
                 precision=None):
-    from uresnet_tpu.ops.conv import _dim_numbers
+    # Routed through conv_general: in bf16 the weight grad comes back in
+    # f32 (ops/conv.py `_conv_f32wgrad`). In packed layouts each canonical
+    # weight's grad is otherwise a sum of 2^dims independently
+    # bf16-quantized packed-slot partials; removing that rounding is
+    # strictly better but measured NOT sufficient alone to fix the packed
+    # bf16 96^3 3D divergence (benchmarks/RESULTS.md "3D bf16").
+    from uresnet_tpu.ops.conv import conv_general
 
-    dn = _dim_numbers(dims)
-    if isinstance(padding, tuple) and isinstance(padding[0], int):
-        padding = (padding,) * dims
-    strides = stride if isinstance(stride, tuple) else (stride,) * dims
-    return lax.conv_general_dilated(
-        xp.astype(compute_dtype), wp.astype(compute_dtype),
-        window_strides=strides, padding=padding,
-        dimension_numbers=dn, precision=precision)
+    return conv_general(xp, wp, strides=stride, padding=padding, dims=dims,
+                        compute_dtype=compute_dtype, precision=precision)
