@@ -196,3 +196,52 @@ def test_s2d_d2s_reshape_path_equals_transpose_path(dims, C):
     yb = depth_to_space(a, dims=dims, _force_path="transpose")
     np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
     np.testing.assert_array_equal(np.asarray(ya), np.asarray(x))
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+def test_einsum_pack_exact_forward_and_backward(dims):
+    """The weight-pack einsums must be EXACT — forward (a pure relabeling:
+    every packed slot selects exactly one canonical weight or 0) AND
+    backward (f32 partial sums). This pins the Precision.HIGHEST fix for
+    the packed-bf16 3D divergence: at DEFAULT precision the TPU lowers
+    these einsums through single-pass bf16 dots, which is invisible in the
+    forward (the conv casts kernels to bf16 anyway) but quantizes every
+    weight-grad partial to bf16 BEFORE the sum into the canonical slot —
+    the asymmetry (canonical path: exact f32 dw via ops/conv.py) that made
+    packed-bf16 3D training diverge while canonical-bf16 and packed-f32
+    converged (benchmarks/RESULTS.md "3D bf16" root cause). On CPU this
+    test passes even at DEFAULT precision; it pins the contract so TPU
+    test runs (and any future lowering change) catch a regression."""
+    from uresnet_tpu.ops.pack import _dim_T, _einsum_pack
+
+    k, ci, co = 3, 5, 7
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.standard_normal((k,) * dims + (ci, co)), jnp.float32)
+    T = _dim_T("same", k).astype(np.float64)
+    if dims == 2:
+        ex = np.einsum("aupd,bvqe,deio->abuvipqo", T, T,
+                       np.asarray(w, np.float64))
+    else:
+        ex = np.einsum("aupd,bvqe,cwrf,defio->abcuvwipqro", T, T, T,
+                       np.asarray(w, np.float64))
+    P = 2 ** dims
+    ex = ex.reshape((k,) * dims + (P * ci, P * co))
+    got = np.asarray(jax.jit(lambda w: _einsum_pack(w, "same", dims))(w),
+                     np.float64)
+    # forward: bit-exact relabeling (each output = one f32 input or 0)
+    np.testing.assert_array_equal(got, ex)
+
+    ct = jnp.asarray(rng.standard_normal(got.shape), jnp.float32)
+    _, vjp = jax.vjp(lambda ww: _einsum_pack(ww, "same", dims), w)
+    dw = np.asarray(vjp(ct)[0], np.float64)
+    if dims == 2:
+        dex = np.einsum("aupd,bvqe,abuvipqo->deio", T, T,
+                        np.asarray(ct, np.float64).reshape(
+                            (k, k, 2, 2, ci, 2, 2, co)))
+    else:
+        dex = np.einsum("aupd,bvqe,cwrf,abcuvwipqro->defio", T, T, T,
+                        np.asarray(ct, np.float64).reshape(
+                            (k, k, k, 2, 2, 2, ci, 2, 2, 2, co)))
+    # backward: f32 partial sums (tolerance = f32 accumulation order only;
+    # a bf16-quantized backward fails this by ~4 orders of magnitude)
+    np.testing.assert_allclose(dw, dex, rtol=1e-5, atol=1e-6)

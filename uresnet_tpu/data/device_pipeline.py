@@ -224,8 +224,13 @@ def densify_on_device(
         total = float(npix)
         w_class = jnp.where(counts > 0, total / (num_class * counts), 0.0)
         # one-hot contraction, not take_along_axis (gather is scalar-slow
-        # on TPU — see engine/losses.py)
-        weight = jnp.einsum("bpc,bc->bp", one_hot, w_class)
+        # on TPU — see engine/losses.py). Precision.HIGHEST: each pixel
+        # selects exactly ONE class weight, so true-f32 passes make the
+        # selection EXACT; at DEFAULT the TPU's bf16 dot pass would round
+        # the weight map and break host==device weight equality on TPU
+        # (same failure class as ops/pack.py _einsum_pack — see there)
+        weight = jnp.einsum("bpc,bc->bp", one_hot, w_class,
+                            precision=jax.lax.Precision.HIGHEST)
         weight = weight.reshape(label.shape)
     else:
         raise ValueError(f"unknown weight mode {weight_mode!r}")

@@ -10,17 +10,23 @@ wrappers (SURVEY.md §2.1 "Layer builders", reference `lib/uresnet_layers.py`
 
 The transpose conv is `lax.conv_transpose` (fractionally-strided conv) — the
 overlap-add semantics match TF's `conv2d_transpose` with SAME padding and a
-(k, k, C_in, C_out) kernel layout of our own choosing (we never load TF
-checkpoints, so TF's (k, k, out, in) layout is not mirrored).
+(k, k, C_in, C_out) kernel layout of our own choosing; TF's (k, k, out, in)
+gradient-semantics kernels are converted at checkpoint-import time
+(models/import_tf.py `tconv_kernel_from_tf`, the exact flip+swap).
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# probe flag (read once at import): f32-operand conv data-gradients —
+# see benchmarks/probe_3d_bf16.py and _conv_f32wgrad_bwd below
+_F32_DXGRAD = os.environ.get("URESNET_F32_DXGRAD", "") == "1"
 
 
 def _dim_numbers(dims: int) -> lax.ConvDimensionNumbers:
@@ -118,11 +124,21 @@ def _conv_f32wgrad_fwd(x, w32, kind, strides, padding, dn, cdt_name):
 def _conv_f32wgrad_bwd(kind, strides, padding, dn, cdt_name, res, g):
     x, w32 = res
     cdt = jnp.dtype(cdt_name)
-    # dx: bit-identical to the stock backward (bf16 operands/output)
-    _, vjp_x = jax.vjp(
-        lambda xx: _run_conv(kind, xx, w32.astype(cdt), strides, padding,
-                             dn, None), x)
-    dx, = vjp_x(g)
+    if _F32_DXGRAD:
+        # probe path (URESNET_F32_DXGRAD=1, benchmarks/probe_3d_bf16.py):
+        # data gradient with f32 operands — f32 accumulation AND output,
+        # one final rounding back to the activation dtype
+        _, vjp_x = jax.vjp(
+            lambda xx: _run_conv(kind, xx, w32.astype(jnp.float32), strides,
+                                 padding, dn, None), x.astype(jnp.float32))
+        dx32, = vjp_x(g.astype(jnp.float32))
+        dx = dx32.astype(x.dtype)
+    else:
+        # dx: bit-identical to the stock backward (bf16 operands/output)
+        _, vjp_x = jax.vjp(
+            lambda xx: _run_conv(kind, xx, w32.astype(cdt), strides, padding,
+                                 dn, None), x)
+        dx, = vjp_x(g)
     # dw: f32 operands, DEFAULT precision = the same bf16 multiply pass,
     # f32 accumulation and OUTPUT — the weight grad is never bf16-rounded
     _, vjp_w = jax.vjp(

@@ -142,14 +142,29 @@ def _dim_T(kind: str, k: int) -> np.ndarray:
 
 
 def _einsum_pack(w: jax.Array, kind: str, dims: int) -> jax.Array:
+    # Precision.HIGHEST is LOAD-BEARING, not a nicety. Each packed output
+    # slot selects exactly ONE canonical weight (or 0), so in true f32 the
+    # forward is an EXACT relabeling and the backward an EXACT f32
+    # partial-sum. At DEFAULT precision the TPU lowers these einsums
+    # through single-pass bf16 dots: the forward rounding is masked (the
+    # conv casts kernels to bf16 anyway) but the BACKWARD quantizes every
+    # packed-slot weight-grad partial to bf16 BEFORE the sum into the
+    # canonical slot — measured rel error up to ~4 on cancelling entries —
+    # silently undoing ops/conv.py's f32 weight-grad path on packed levels
+    # only. That asymmetry is the root cause of the packed-bf16 3D
+    # divergence (benchmarks/RESULTS.md "3D bf16"); CPU CI never sees it
+    # because CPU default precision is already f32-exact. The einsums are
+    # weight-sized (k^dims * Ci * Co), so HIGHEST costs nothing measurable.
     k = w.shape[0]
     ci, co = w.shape[-2], w.shape[-1]
     T = jnp.asarray(_dim_T(kind, k), w.dtype)
     kp, pi, po = T.shape[0], T.shape[1], T.shape[2]
+    hi = lax.Precision.HIGHEST
     if dims == 2:
-        out = jnp.einsum("aupd,bvqe,deio->abuvipqo", T, T, w)
+        out = jnp.einsum("aupd,bvqe,deio->abuvipqo", T, T, w, precision=hi)
     elif dims == 3:
-        out = jnp.einsum("aupd,bvqe,cwrf,defio->abcuvwipqro", T, T, T, w)
+        out = jnp.einsum("aupd,bvqe,cwrf,defio->abcuvwipqro", T, T, T, w,
+                         precision=hi)
     else:
         raise ValueError(dims)
     return out.reshape((kp,) * dims + (pi ** dims * ci, po ** dims * co))
@@ -250,7 +265,11 @@ def _pack_h_kind(w: jax.Array, kind: str) -> jax.Array:
     """Apply an H-dim pack table to a 2D kernel's H taps (W taps kept)."""
     k, kw, ci, co = w.shape
     T = jnp.asarray(_dim_T(kind, k), w.dtype)      # (kp, pi, po, k)
-    out = jnp.einsum("aupd,dxio->axuipo", T, w)
+    # HIGHEST for the same reason as _einsum_pack: exact relabel forward,
+    # exact f32 partial-sum backward (default precision bf16-quantizes the
+    # weight-grad partials on TPU)
+    out = jnp.einsum("aupd,dxio->axuipo", T, w,
+                     precision=lax.Precision.HIGHEST)
     return out.reshape(T.shape[0], kw, T.shape[1] * ci, T.shape[2] * co)
 
 
