@@ -245,3 +245,45 @@ def test_einsum_pack_exact_forward_and_backward(dims):
     # backward: f32 partial sums (tolerance = f32 accumulation order only;
     # a bf16-quantized backward fails this by ~4 orders of magnitude)
     np.testing.assert_allclose(dw, dex, rtol=1e-5, atol=1e-6)
+
+
+def _dot_precisions(jaxpr, out):
+    """Collect every dot_general precision param, recursing into sub-jaxprs."""
+    for eq in jaxpr.eqns:
+        if eq.primitive.name == "dot_general":
+            out.append(eq.params.get("precision"))
+        for v in eq.params.values():
+            for vv in (v if isinstance(v, (tuple, list)) else (v,)):
+                if hasattr(vv, "jaxpr"):
+                    _dot_precisions(vv.jaxpr, out)
+    return out
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+def test_pack_einsums_carry_highest_precision_fwd_and_bwd(dims):
+    """Structural pin of the packed-bf16 divergence fix: EVERY dot in the
+    weight-relabel einsums — forward AND the grad transpose — must carry
+    Precision.HIGHEST. The value-level exactness test above cannot catch a
+    precision regression on CPU CI (CPU default dots are already f32-exact);
+    this jaxpr check does, platform-independently."""
+    from uresnet_tpu.ops.pack import (pack_weight_conv_h, pack_weight_down_h,
+                                      pack_weight_up_h)
+
+    cases = [
+        (lambda w: pack_weight_conv(w, dims), (3,) * dims + (4, 8)),
+        (lambda w: pack_weight_down(w, dims), (3,) * dims + (4, 8)),
+        (lambda w: pack_weight_up(w, dims), (3,) * dims + (4, 8)),
+    ]
+    if dims == 2:
+        cases += [
+            (lambda w: pack_weight_conv_h(pack_weight_conv(w, 2)), (3, 3, 4, 8)),
+            (lambda w: pack_weight_down_h(pack_weight_down(w, 2)), (3, 3, 4, 8)),
+            (lambda w: pack_weight_up_h(pack_weight_up(w, 2)), (3, 3, 4, 8)),
+        ]
+    hi = (lax.Precision.HIGHEST, lax.Precision.HIGHEST)
+    for fn, shape in cases:
+        w = jnp.zeros(shape, jnp.float32)
+        jx = jax.make_jaxpr(jax.grad(lambda ww: fn(ww).sum()))(w)
+        precs = _dot_precisions(jx.jaxpr, [])
+        assert precs, "pack transform no longer lowers to dot_general"
+        assert all(p == hi for p in precs), precs

@@ -151,10 +151,12 @@ def _einsum_pack(w: jax.Array, kind: str, dims: int) -> jax.Array:
     # packed-slot weight-grad partial to bf16 BEFORE the sum into the
     # canonical slot — measured rel error up to ~4 on cancelling entries —
     # silently undoing ops/conv.py's f32 weight-grad path on packed levels
-    # only. That asymmetry is the root cause of the packed-bf16 3D
-    # divergence (benchmarks/RESULTS.md "3D bf16"); CPU CI never sees it
-    # because CPU default precision is already f32-exact. The einsums are
-    # weight-sized (k^dims * Ci * Co), so HIGHEST costs nothing measurable.
+    # only. Removing that asymmetry is necessary but measured NOT
+    # sufficient for the packed-bf16 3D divergence (a 600-step 96^3 run
+    # with HIGHEST still diverges — benchmarks/RESULTS.md "3D bf16");
+    # CPU CI never sees the quantization because CPU default precision is
+    # already f32-exact. The einsums are weight-sized (k^dims * Ci * Co),
+    # so HIGHEST costs nothing measurable.
     k = w.shape[0]
     ci, co = w.shape[-2], w.shape[-1]
     T = jnp.asarray(_dim_T(kind, k), w.dtype)
