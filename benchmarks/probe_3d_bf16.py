@@ -20,6 +20,14 @@ compare  Same TrainState, same batch -> one value_and_grad through the
          with the packed step so the comparison happens at a drifted
          (pre-divergence) point, not just init.
 
+lockstep Two trainers (packed and canonical, same dtype) from the SAME
+         initial state, stepped on the SAME batch sequence. Per step both
+         losses; every --tap-every steps the per-unit relative L2 drift
+         ||p_pack - p_canon|| / ||p_canon||. Separates data/order noise
+         from layout numerics: if the packed trajectory climbs while the
+         canonical one descends ON THE SAME BATCHES, the split point and
+         the fastest-drifting unit localize the mechanism.
+
 Mitigation probes (run mode):
   --f32-dx     URESNET_F32_DXGRAD=1: conv data-gradients computed with f32
                operands (single final bf16 rounding) instead of stock bf16.
@@ -200,6 +208,66 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_lockstep(args) -> int:
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from uresnet_tpu.engine.trainer import Trainer
+    from uresnet_tpu.parallel.mesh import make_mesh
+
+    cfg_p = stress_config(args)
+    cfg_c = dataclasses.replace(
+        cfg_p, model=dataclasses.replace(cfg_p.model, pack=False))
+    tr_p = Trainer(cfg_p, mesh=make_mesh(1))
+    tr_c = Trainer(cfg_c, mesh=make_mesh(1))
+    # params live in the canonical layout under BOTH execution paths (the
+    # packed kernels are relabeled at apply time), so one init state seeds
+    # both trajectories identically
+    ts_p = tr_p.init_state()
+    # deep-copy: both step fns DONATE their state arg, so the trajectories
+    # must not alias buffers (jnp.array(copy=True) preserves non-array
+    # leaves via asarray semantics on scalars)
+    import jax.numpy as jnp
+    ts_c = jax.tree.map(
+        lambda x: jnp.array(x, copy=True) if isinstance(x, jax.Array) else x,
+        ts_p)
+
+    loader = tr_p.make_loader(train=True)
+    it = iter(loader)
+    out = open(args.log, "w") if args.log else sys.stdout
+    try:
+        for i in range(1, args.steps + 1):
+            batch = next(it)
+            ts_p, m_p = tr_p.train_step_light(ts_p, tr_p._device_batch(batch))
+            ts_c, m_c = tr_c.train_step_light(ts_c, tr_c._device_batch(batch))
+            rec = {"step": i, "loss_p": float(m_p["loss"]),
+                   "loss_c": float(m_c["loss"])}
+            if args.tap_every and (i % args.tap_every == 0 or
+                                   i == args.steps):
+                pn, cn = _leaf_dict(ts_p.params), _leaf_dict(ts_c.params)
+                unit = {}
+                for k in cn:
+                    u = k.split("/")[0]
+                    d, r = unit.get(u, (0.0, 0.0))
+                    unit[u] = (d + float(np.square(pn[k] - cn[k]).sum()),
+                               r + float(np.square(cn[k]).sum()))
+                rec["param_rel_drift"] = {
+                    u: math.sqrt(d) / (math.sqrt(r) or 1e-30)
+                    for u, (d, r) in unit.items()}
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+    finally:
+        loader.stop()
+        if args.log:
+            out.close()
+    print(f"done: step {rec['step']} loss packed={rec['loss_p']:.4f} "
+          f"canonical={rec['loss_c']:.4f}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -228,6 +296,15 @@ def main(argv=None) -> int:
     c.add_argument("--advance", type=int, default=0,
                    help="walk the state N packed steps first")
     c.set_defaults(fn=cmd_compare)
+
+    k = sub.add_parser("lockstep",
+                       help="packed and canonical trained on the SAME "
+                            "batches from the SAME init")
+    common(k)
+    k.add_argument("--log", default=None, help="JSONL output path")
+    k.add_argument("--tap-every", type=int, default=50,
+                   help="param-drift tap interval (0 = off)")
+    k.set_defaults(fn=cmd_lockstep)
 
     args = p.parse_args(argv)
     return args.fn(args)
