@@ -42,6 +42,10 @@ def main():
                    help="remat mode: false|level|block (default: block "
                         "for 3D, off for 2D)")
     p.add_argument("--base-filters", type=int, default=16)
+    p.add_argument("--dtype", default=None,
+                   help="compute dtype override (default: bfloat16 on TPU, "
+                        "float32 on CPU) — e.g. float32 to measure the "
+                        "packed-f32 3D recipe")
     p.add_argument("--pack-threshold", type=int, default=None,
                    help="pack levels with channels < threshold (default "
                         "64; 128 also packs the 64-ch level — 3D lever)")
@@ -87,7 +91,8 @@ def main():
         model=ModelConfig(dims=args.dims, num_class=3,
                           base_filters=args.base_filters,
                           depth=depth,
-                          compute_dtype="bfloat16" if on_tpu else "float32",
+                          compute_dtype=args.dtype or
+                          ("bfloat16" if on_tpu else "float32"),
                           pack=not args.no_pack,
                           pack_extra_h=not args.no_pack_extra_h,
                           **({"pack_threshold": args.pack_threshold}
@@ -112,6 +117,31 @@ def main():
     }
     dev_batch = trainer._device_batch(batch_np)
 
+    # FLOP accounting for the honesty plumbing (VERDICT r3 weak #5):
+    # 'useful' = the canonical (unpacked) model's MACs — the math the physics
+    # needs (benchmarks/flops.py); 'raw' = what the compiled executable
+    # actually issues (XLA cost analysis), which for packed layouts includes
+    # the structural-zero K-inflation. useful/raw < 1 is the layout tax, not
+    # headroom (benchmarks/RESULTS.md round 2).
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    from flops import uresnet_forward_macs
+
+    fwd_flops = 2 * uresnet_forward_macs(size=size, batch=batch,
+                                         dims=args.dims, depth=depth,
+                                         base=args.base_filters)
+
+    def raw_flops_of(jitted, *call_args):
+        try:
+            cost = jitted.lower(*call_args).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost["flops"])
+        except Exception:  # noqa: BLE001 — relay/backend without analysis
+            return None
+
     if args.infer:
         ts0 = ts
         def run_fwd(k):
@@ -126,12 +156,17 @@ def main():
         t_n = [run_fwd(steps) for _ in range(3)]
         t_2n = [run_fwd(2 * steps) for _ in range(3)]
         dt = max(statistics.median(t_2n) - statistics.median(t_n), 1e-9)
-        ips = batch * steps / dt / len(jax.devices())
+        per_fwd = dt / steps
+        ips = batch / per_fwd / len(jax.devices())
+        raw = raw_flops_of(trainer.forward, ts0, dev_batch["data"])
         print(json.dumps({
             "metric": f"infer_images_per_sec_per_chip_{size}_{args.dims}d",
             "value": round(ips, 3),
             "unit": "images/sec/chip",
             "vs_baseline": 0.0,
+            "useful_tflops": round(fwd_flops / per_fwd / 1e12, 2),
+            **({"raw_tflops": round(raw / per_fwd / 1e12, 2)}
+               if raw else {}),
         }))
         return
 
@@ -208,11 +243,16 @@ def main():
             vs_baseline = images_per_sec_per_chip / base[key]
 
     tag = "_freeze" if args.freeze else ""
+    # useful train flops: fwd + dW + dX = 3x fwd; remat re-runs the fwd (4x)
+    useful = fwd_flops * (4 if remat else 3)
+    raw = raw_flops_of(step_fn, ts, dev_batch)
     print(json.dumps({
         "metric": f"train_images_per_sec_per_chip_{size}x{size}_{args.dims}d{tag}",
         "value": round(images_per_sec_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else 0.0,
+        "useful_tflops": round(useful / per_step / 1e12, 2),
+        **({"raw_tflops": round(raw / per_step / 1e12, 2)} if raw else {}),
         "baseline_note": ("denominator is our measured 1-core CPU-JAX "
                           "reference-equivalent (reference publishes no "
                           "numbers); vs a reference-era GPU estimate "

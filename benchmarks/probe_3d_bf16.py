@@ -103,6 +103,9 @@ def make_grad_fn(trainer):
 
 
 def cmd_run(args) -> int:
+    if args.steps < 1:
+        print("run mode needs --steps >= 1", file=sys.stderr)
+        return 2
     if args.f32_dx:
         os.environ["URESNET_F32_DXGRAD"] = "1"
     import jax
@@ -218,6 +221,15 @@ def cmd_lockstep(args) -> int:
     from uresnet_tpu.engine.trainer import Trainer
     from uresnet_tpu.parallel.mesh import make_mesh
 
+    if args.steps < 1:
+        print("lockstep mode needs --steps >= 1", file=sys.stderr)
+        return 2
+    if not args.pack:
+        # the mode's whole purpose is packed-vs-canonical; with --no-pack
+        # both trainers would run canonical and the run would be vacuous
+        print("lockstep compares packed vs canonical; --no-pack is vacuous "
+              "(cfg_p must be packed)", file=sys.stderr)
+        return 2
     cfg_p = stress_config(args)
     cfg_c = dataclasses.replace(
         cfg_p, model=dataclasses.replace(cfg_p.model, pack=False))

@@ -14,7 +14,7 @@ from uresnet_tpu.data.loader import BatchLoader
 from uresnet_tpu.data.synthetic import generate_file
 
 pytestmark = pytest.mark.skipif(not cxx_decoder.available(),
-                                reason="liburesnet_decoder.so not built")
+                                reason="liburesnet_decoder.so not built — run `make -C cxx/decoder` to cover the 16 C++ decoder tests")
 
 
 @pytest.fixture(scope="module")

@@ -342,7 +342,7 @@ def test_cxx_seek_requires_stopped_loader(tmp_path):
     from uresnet_tpu.data import cxx_decoder
     if not cxx_decoder.available():
         import pytest as _pytest
-        _pytest.skip("decoder library not built")
+        _pytest.skip("liburesnet_decoder.so not built — run `make -C cxx/decoder`")
     from uresnet_tpu.config import DataConfig
     from uresnet_tpu.data.loader import resolve_input_files
 

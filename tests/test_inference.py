@@ -279,6 +279,23 @@ def test_streamed_inference_matches_host_path(setup):
         assert m_host[k] == m_str[k], k
 
 
+@pytest.mark.parametrize("k", [2, 16])
+def test_readback_group_is_invisible(setup, k):
+    """readback_group=K (device->host readbacks issued K batches at a time,
+    the round-trip amortization for high-latency links) must be byte-
+    invisible: identical npz export and metrics for any K — including
+    K > n_batches (3 here), which exercises the tail drain."""
+    trainer, ts, path, tmp = setup
+    m1 = run_inference(trainer, ts, path, str(tmp / "rg1.npz"))
+    mk = run_inference(trainer, ts, path, str(tmp / f"rg{k}.npz"),
+                       readback_group=k)
+    z1 = np.load(str(tmp / "rg1.npz"))
+    zk = np.load(str(tmp / f"rg{k}.npz"))
+    for key in z1.files:
+        np.testing.assert_array_equal(z1[key], zk[key], err_msg=key)
+    assert m1 == mk
+
+
 def test_streamed_inference_usef_writeback(setup):
     trainer, ts, path, tmp = setup
     run_inference(trainer, ts, path, str(tmp / "h.usef"), fmt="usef",

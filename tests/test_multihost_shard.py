@@ -46,7 +46,7 @@ def test_cxx_shard_matches_python(tmp_path):
     if not cxx_decoder.available():
         import pytest
 
-        pytest.skip("liburesnet_decoder.so not built")
+        pytest.skip("liburesnet_decoder.so not built — run `make -C cxx/decoder`")
     path = generate_file(str(tmp_path / "sc.usef"), 8, seed=4,
                          shape=(128, 128), planes=(0,))
     for rank in (0, 1):

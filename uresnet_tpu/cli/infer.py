@@ -42,6 +42,11 @@ def main(argv=None):
                         "so EVERY charge point is scored (the single-crop "
                         "default drops points outside the centered window); "
                         "npz coords are then original detector coordinates")
+    p.add_argument("--readback-group", type=int, default=1, metavar="K",
+                   help="group device->host score readbacks K batches at a "
+                        "time (one sync wave per K dispatches) — identical "
+                        "results, fewer round trips on high-latency links "
+                        "(engine/evaluator.py _produce_streamed)")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
                    help="force a JAX platform")
     args, extra = p.parse_known_args(argv)
@@ -94,7 +99,8 @@ def main(argv=None):
     else:
         m = run_inference(trainer, ts, args.input, args.output,
                           fmt=args.format, export=args.export,
-                          tiled=args.tiled)
+                          tiled=args.tiled,
+                          readback_group=args.readback_group)
         print(f"wrote {args.output}:", m, flush=True)
     return 0
 

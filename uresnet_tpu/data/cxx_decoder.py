@@ -237,6 +237,14 @@ class CxxBatchLoader:
     def num_events(self) -> int:
         return int(self._lib.urd_num_events(self._h))
 
+    def total_events(self) -> int:
+        """Pre-shard dataset total (same contract as
+        BatchLoader.total_events — the exactly-once evaluator's SPMD-safe
+        batch count derives from this host-independent number)."""
+        from uresnet_tpu.data import events as ev
+
+        return sum(ev.num_events(f) for f in self._files)
+
     def stop(self):
         if self._h:
             self._lib.urd_stop(self._h)

@@ -392,6 +392,12 @@ class BatchLoader:
         CxxBatchLoader.num_events / decoder.cpp urd_num_events."""
         return len(self._index)
 
+    def total_events(self) -> int:
+        """Pre-shard dataset total over all input files. Every host computes
+        the same number, which is what the exactly-once evaluator derives
+        its SPMD-safe batch count from (engine/evaluator.py)."""
+        return sum(ev.num_events(f) for f in self._files)
+
     @property
     def cursor(self) -> int:
         """Next unclaimed ABSOLUTE event position. For checkpointing, prefer

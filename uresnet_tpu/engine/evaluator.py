@@ -148,7 +148,8 @@ def _produce_host(trainer, ts, input_file, n, bs_events):
 
 
 def _produce_streamed(trainer, ts, input_file, n, bs_events,
-                      max_points, *, sparse_export=False):
+                      max_points, *, sparse_export=False,
+                      readback_group: int = 1):
     """Streamed producer: threaded loader (C++ decoder when built) ->
     sparse transfer -> device densify fused with the forward -> a
     prefetch_depth-deep readback pipeline, so decode/transfer/compute
@@ -160,7 +161,14 @@ def _produce_streamed(trainer, ts, input_file, n, bs_events,
     (_make_ana_step_sparse), masks the wrapped tail rows of the final
     batch out of the on-device confusion counts via 'row_valid', and
     yields {'pscores', <confusion counts>}. ONE producer serves both modes
-    so the pipeline-depth/teardown logic cannot diverge (round-3 review)."""
+    so the pipeline-depth/teardown logic cannot diverge (round-3 review).
+
+    ``readback_group=K``: device->host readbacks are issued for K batches
+    AT ONCE (one jax.device_get over K output pytrees — every leaf's
+    copy_to_host_async goes out in one wave), dividing the per-readback
+    relay round-trip count by K. The e2e ana wall on tunneled hosts is
+    round-trip latency, not bandwidth (benchmarks/RESULTS.md round 3/4);
+    K only changes when hosts syncs happen, never the results."""
     import collections
     import dataclasses
 
@@ -185,11 +193,17 @@ def _produce_streamed(trainer, ts, input_file, n, bs_events,
         # keep prefetch_depth dispatches in flight so the per-batch
         # device->host readback round-trips overlap (the relay link has
         # O(100ms) latency per sync — see benchmarks/RESULTS.md)
-        pending = collections.deque()
+        K = max(1, int(readback_group))
+        pending = collections.deque()   # device-side (idxs, events, out)
+        done = collections.deque()      # host-side triples ready to yield
 
-        def drain():
-            p_idxs, p_events, p_out = pending.popleft()
-            return p_idxs, p_events, jax.device_get(p_out)
+        def drain_group():
+            take = [pending.popleft() for _ in range(min(K, len(pending)))]
+            # ONE device_get over the whole group: all leaves of all K
+            # outputs start their host copies together (single sync wave)
+            outs = jax.device_get([t[2] for t in take])
+            for (p_idxs, p_events, _), host in zip(take, outs):
+                done.append((p_idxs, p_events, host))
 
         for k in range(n_batches):
             batch = next(it)
@@ -202,10 +216,14 @@ def _produce_streamed(trainer, ts, input_file, n, bs_events,
             out = step(ts, batch)              # async dispatch
             events = ev.read_events(input_file, idxs)
             pending.append((idxs, events, out))
-            if len(pending) > max(1, cfg.data.prefetch_depth):
-                yield drain()
+            if len(pending) >= K + max(1, cfg.data.prefetch_depth):
+                drain_group()
+            while done:
+                yield done.popleft()
         while pending:
-            yield drain()
+            drain_group()
+            while done:
+                yield done.popleft()
     finally:
         loader.stop()
         if hasattr(loader, "close"):
@@ -291,8 +309,8 @@ def _make_ana_step_points(trainer: Trainer):
 
 
 def _run_inference_sparse(trainer, ts, input_file, output_file, *,
-                          fmt, bs_events,
-                          max_points) -> Dict[str, float]:
+                          fmt, bs_events, max_points,
+                          readback_group: int = 1) -> Dict[str, float]:
     """Sparse-export pass (see run_inference ``export='sparse'``): the
     device ships per-POINT scores + confusion counts + its crop ORIGINS;
     the host rebuilds the byte-identical export by applying the exported
@@ -318,7 +336,8 @@ def _run_inference_sparse(trainer, ts, input_file, output_file, *,
     agg_counts: Dict[str, np.ndarray] = {}
 
     for idxs, events, out in _produce_streamed(
-            trainer, ts, input_file, n, bs_events, P, sparse_export=True):
+            trainer, ts, input_file, n, bs_events, P, sparse_export=True,
+            readback_group=readback_group):
         pscores = out.pop("pscores")
         origin_b = out.pop("origin")        # (B, D) device crop origins
         for key, v in reduce_counts(out).items():
@@ -631,6 +650,7 @@ def run_inference(
     streamed: bool = True,
     export: str = "auto",
     tiled: bool = False,
+    readback_group: int = 1,
 ) -> Dict[str, float]:
     """Sequential pass over `input_file`; writes per-pixel score export.
 
@@ -658,6 +678,12 @@ def run_inference(
     identical in all modes — the ana sparse wire auto-sizes its pad length
     to the file's largest plane (events.max_plane_points), so inference
     NEVER truncates events regardless of the training-time data.max_points.
+
+    ``readback_group=K`` (streamed modes): issue device->host readbacks for
+    K batches at once — one jax.device_get per K dispatches instead of one
+    each. Results are identical; on high-latency links (the axon relay)
+    this divides the round-trip count by K (measured sweep in
+    benchmarks/RESULTS.md round 4).
 
     ``tiled=True`` switches to the full-coverage tiled pass
     (`_run_inference_tiled`): events larger than one image_size window are
@@ -708,7 +734,8 @@ def run_inference(
     if export == "sparse":
         return _run_inference_sparse(trainer, ts, input_file, output_file,
                                      fmt=fmt, bs_events=bs_events,
-                                     max_points=ana_points)
+                                     max_points=ana_points,
+                                     readback_group=readback_group)
 
     out_event, out_plane, out_coords = [], [], []
     out_scores, out_pred, out_label = [], [], []
@@ -722,7 +749,7 @@ def run_inference(
     n_pix_total = 0
 
     producer = (_produce_streamed(trainer, ts, input_file, n, bs_events,
-                                  ana_points)
+                                  ana_points, readback_group=readback_group)
                 if streamed else
                 _produce_host(trainer, ts, input_file, n, bs_events))
     for idxs, events, out in producer:
@@ -895,7 +922,7 @@ def evaluate_dataset(
     # Host-independent totals (the loader shards round-robin): every host
     # must run the SAME number of jitted steps under SPMD even when its
     # shard is one event short — shorter shards just mask more rows.
-    n_total = sum(ev.num_events(f) for f in loader._files)
+    n_total = loader.total_events()
     n_local = n_total // shard_count + (1 if rank < n_total % shard_count
                                         else 0)
     n_max_local = -(-n_total // shard_count)
