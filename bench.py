@@ -46,6 +46,10 @@ def main():
                    help="compute dtype override (default: bfloat16 on TPU, "
                         "float32 on CPU) — e.g. float32 to measure the "
                         "packed-f32 3D recipe")
+    p.add_argument("--head-dtype", default=None,
+                   help="logits-conv dtype (default: float32 for 3D — the "
+                        "shipped stable recipe, RESULTS.md round 4 — and "
+                        "compute dtype for 2D)")
     p.add_argument("--pack-threshold", type=int, default=None,
                    help="pack levels with channels < threshold (default "
                         "64; 128 also packs the 64-ch level — 3D lever)")
@@ -93,6 +97,9 @@ def main():
                           depth=depth,
                           compute_dtype=args.dtype or
                           ("bfloat16" if on_tpu else "float32"),
+                          head_dtype=(args.head_dtype if args.head_dtype
+                                      is not None else
+                                      ("float32" if args.dims == 3 else "")),
                           pack=not args.no_pack,
                           pack_extra_h=not args.no_pack_extra_h,
                           **({"pack_threshold": args.pack_threshold}

@@ -52,14 +52,16 @@ def stress_config(args):
     model = ModelConfig(
         dims=3, num_class=3, base_filters=16, depth=4,
         compute_dtype=args.dtype, pack=args.pack,
-        pack_threshold=args.pack_threshold, remat=False)
+        pack_threshold=args.pack_threshold, remat=False,
+        head_dtype=args.head_dtype)
     data = DataConfig(
         image_size=args.size, batch_size=1, planes=(0,),
         weight_mode="class_balance", backend="python", synthetic=True,
         synthetic_events=args.events, seed=7, max_points=24576,
         num_threads=2, augment=False)
-    optim = OptimConfig(lr=2e-4, schedule="cosine", decay_steps=10000,
-                        warmup_steps=50, grad_clip_norm=1.0)
+    optim = OptimConfig(lr=args.lr, schedule="cosine", decay_steps=10000,
+                        warmup_steps=50, grad_clip_norm=1.0,
+                        weight_decay=args.weight_decay)
     train = TrainConfig(iterations=args.steps, summary_iter=0,
                         checkpoint_iter=0, val_iter=0, seed=args.seed,
                         checkpoint_dir="/tmp/probe3d/ckpt",
@@ -295,6 +297,13 @@ def main(argv=None) -> int:
         q.add_argument("--pack-threshold", type=int, default=64)
         q.add_argument("--platform", default=None)
         q.add_argument("--f32-dx", action="store_true")
+        q.add_argument("--lr", type=float, default=2e-4)
+        q.add_argument("--head-dtype", default="",
+                       help="model.head_dtype override (e.g. float32: "
+                            "unquantized logits probe)")
+        q.add_argument("--weight-decay", type=float, default=0.0,
+                       help="decoupled (AdamW-style) decay — recipe-"
+                            "stabilization probe")
 
     r = sub.add_parser("run", help="instrumented training run")
     common(r)

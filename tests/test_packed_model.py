@@ -175,3 +175,41 @@ def test_trainer_packed_loss_step_equals_canonical(tmp_path):
                                    err_msg=f"metric {k}")
     for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("dims", [2, 3])
+def test_head_dtype_f32_equality_and_unquantized(dims):
+    """model.head_dtype='float32' (the packed-bf16 3D divergence fix,
+    benchmarks/RESULTS.md round 4): packed == canonical still holds with
+    the head dtype raised, and under bf16 compute the logits really leave
+    the bf16 grid (the whole point — unquantized (softmax - onehot)
+    residuals at heavily-weighted near-saturated pixels)."""
+    import dataclasses
+
+    cfg_c = ModelConfig(dims=dims, depth=2, base_filters=4, num_class=3,
+                        compute_dtype="float32", head_dtype="float32",
+                        pack=False)
+    cfg_p = dataclasses.replace(cfg_c, pack=True)
+    params, state = uresnet_init(jax.random.PRNGKey(31), cfg_c)
+    x = jax.random.uniform(jax.random.PRNGKey(32), (2,) + (16,) * dims + (1,))
+    lc, sc = uresnet_apply(params, state, x, cfg=cfg_c, train=True)
+    lp, sp = uresnet_apply(params, state, x, cfg=cfg_p, train=True)
+    np.testing.assert_allclose(np.asarray(lc), np.asarray(lp), rtol=1e-3,
+                               atol=5e-5)
+    for a, b in zip(jax.tree.leaves(sc), jax.tree.leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+    for pack in (False, True):
+        cfg = ModelConfig(dims=dims, depth=2, base_filters=4, num_class=3,
+                          compute_dtype="bfloat16", head_dtype="float32",
+                          pack=pack)
+        y, _ = uresnet_apply(params, state, x, cfg=cfg, train=True)
+        on_grid = np.mean(np.asarray(y) ==
+                          np.asarray(y.astype(jnp.bfloat16), np.float32))
+        assert on_grid < 0.9, (pack, on_grid)
+        cfg_b = dataclasses.replace(cfg, head_dtype="")
+        yb, _ = uresnet_apply(params, state, x, cfg=cfg_b, train=True)
+        assert np.mean(np.asarray(yb) ==
+                       np.asarray(yb.astype(jnp.bfloat16),
+                                  np.float32)) == 1.0, pack

@@ -42,6 +42,16 @@ class ModelConfig:
     bn_eps: float = 1e-3             # TF1 default
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay float32
     param_dtype: str = "float32"
+    head_dtype: str = ""             # logits-conv compute dtype ("" = follow
+                                     # compute_dtype). float32 removes the
+                                     # bf16 LOGITS quantization: at near-
+                                     # saturated, heavily class-balance-
+                                     # weighted pixels the (softmax - onehot)
+                                     # residual is ulp-sensitive, which makes
+                                     # late-training bf16 gradients chaotic
+                                     # (measured: benchmarks/RESULTS.md
+                                     # round 4 "3D bf16"). The head is ~1%
+                                     # of model FLOPs, so this is ~free.
     final_kernel: int = 3            # kernel of the logits conv
     remat: Any = False               # rematerialization (3D memory,
                                      # SURVEY.md §7 hard part #5):

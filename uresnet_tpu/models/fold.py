@@ -138,5 +138,9 @@ def uresnet_apply_folded(folded: Dict[str, Any], x: jax.Array, *,
         h = jnp.concatenate([h, skips[lvl].astype(h.dtype)], axis=-1)
         for b in range(cfg.blocks_per_level):
             h = block(folded[f"dec{lvl}_b{b}"], h)
-    logits = conv(h, folded["head"], dims=cfg.dims, compute_dtype=cd)
+    from uresnet_tpu.ops.conv import head_precision
+
+    hd = canonical_dtype(cfg.head_dtype) if cfg.head_dtype else cd
+    logits = conv(h, folded["head"], dims=cfg.dims, compute_dtype=hd,
+                  precision=head_precision(hd, cd))
     return logits.astype(jnp.float32)

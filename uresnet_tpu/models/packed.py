@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from uresnet_tpu.config import ModelConfig
 from uresnet_tpu.models.blocks import BlockCtx, conv_bn_apply, resblock_apply
-from uresnet_tpu.ops.conv import _precision, conv
+from uresnet_tpu.ops.conv import _precision, conv, head_precision
 from uresnet_tpu.ops.pack import (conv_packed, d2s_h, depth_to_space,
                                   pack_weight_concat, pack_weight_conv,
                                   pack_weight_conv_h, pack_weight_down,
@@ -325,13 +325,24 @@ def uresnet_apply_packed(
         h, sub = level(dec)(h, skips[lvl])
         new_state.update(sub)
 
+    # cfg.head_dtype (e.g. float32): unquantized logits — the bf16 logits
+    # rounding makes near-saturated weighted-xent residuals ulp-chaotic
+    # late in training (RESULTS.md round 4 "3D bf16"); the head is ~1% of
+    # model FLOPs so the dtype bump is ~free in either layout
+    head_cdt = (jnp.dtype(cfg.head_dtype) if cfg.head_dtype
+                else ctx.compute_dtype)
+    # raised head dtype -> DEFAULT precision: same bf16 MXU pass, f32
+    # accumulation/output (unquantized logits at ~bf16 cost; measured
+    # 2.21 vs 2.03 vol/s for HIGHEST at 192^3 — RESULTS.md round 4)
+    head_prec = (head_precision(head_cdt, ctx.compute_dtype)
+                 or _precision(head_cdt))
     if packed_level(0):
         wp = pack_weight_conv(params["head"]["w"], dims)
         if resident:
             wp = pack_weight_conv_h(wp)
         logits = conv_packed(h, wp, padding="SAME", dims=dims,
-                             compute_dtype=ctx.compute_dtype,
-                             precision=_precision(ctx.compute_dtype))
+                             compute_dtype=head_cdt,
+                             precision=head_prec)
         if "b" in params["head"]:
             bias = params["head"]["b"]
             logits = logits + jnp.tile(bias, 2 * P if resident else P) \
@@ -345,5 +356,6 @@ def uresnet_apply_packed(
         logits = depth_to_space(logits, dims=dims)
     else:
         logits = conv(h, params["head"], dims=dims,
-                      compute_dtype=ctx.compute_dtype)
+                      compute_dtype=head_cdt,
+                      precision=head_precision(head_cdt, ctx.compute_dtype))
     return logits.astype(jnp.float32), new_state

@@ -191,8 +191,11 @@ def uresnet_apply(
         h, sub = level(dec)(h, skips[lvl])
         new_state.update(sub)
 
-    logits = conv(h, params["head"], dims=cfg.dims,
-                  compute_dtype=ctx.compute_dtype)
+    from uresnet_tpu.ops.conv import head_precision
+
+    hd = jnp.dtype(cfg.head_dtype) if cfg.head_dtype else ctx.compute_dtype
+    logits = conv(h, params["head"], dims=cfg.dims, compute_dtype=hd,
+                  precision=head_precision(hd, ctx.compute_dtype))
     return logits.astype(jnp.float32), new_state
 
 

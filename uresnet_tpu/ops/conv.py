@@ -171,6 +171,19 @@ def conv_general(x, w, *, strides, padding, dims, compute_dtype,
                           strides, padding, dn, cdt.name)
 
 
+def head_precision(head_dtype, compute_dtype):
+    """Precision for a logits conv whose dtype is RAISED above the model's
+    compute dtype (model.head_dtype, the packed-bf16 3D stability fix —
+    benchmarks/RESULTS.md round 4): DEFAULT precision runs the same
+    single bf16 MXU pass as the stock head (identical products — the
+    inputs are bf16-rounded upstream anyway) but accumulates into an
+    UNROUNDED f32 output, which is the entire point, at ~bf16 cost
+    (HIGHEST would add multi-pass f32 multiplies for values that carry no
+    extra information). Same-dtype heads keep the usual rules (None)."""
+    hd, cd = jnp.dtype(head_dtype), jnp.dtype(compute_dtype)
+    return lax.Precision.DEFAULT if hd != cd else None
+
+
 def conv(
     x: jax.Array,
     params: dict,
@@ -178,6 +191,7 @@ def conv(
     stride: int = 1,
     dims: int = 2,
     compute_dtype=jnp.bfloat16,
+    precision=None,
 ) -> jax.Array:
     """SAME-padded N-D conv in `compute_dtype`.
 
@@ -190,7 +204,7 @@ def conv(
     """
     w = params["w"]
     out = conv_general(x, w, strides=stride, padding="SAME", dims=dims,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype, precision=precision)
     if "b" in params:
         out = out + params["b"].astype(out.dtype)
     return out
