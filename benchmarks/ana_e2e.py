@@ -31,6 +31,10 @@ def main():
     p.add_argument("--modes", nargs="*",
                    default=["sparse", "dense", "host"],
                    help="subset of {sparse, dense, host, tiled} to run")
+    p.add_argument("--group", type=int, nargs="*", default=[1],
+                   help="readback_group K values to sweep for the streamed "
+                        "modes (device->host readbacks issued K batches at "
+                        "a time; VERDICT r3 #4 round-trip amortization)")
     p.add_argument("--device-only", action="store_true",
                    help="time the fused sparse ana STEP (densify + forward "
                         "+ softmax + point-gather + confusion counts) on a "
@@ -100,20 +104,25 @@ def main():
     }
     for name in args.modes:
         kw = runs[name]
-        out = f"/tmp/ana_e2e_{name}.{args.fmt}"
-        # warm the compile out of the measurement: one tiny pass
-        run_inference(tr, ts, path, out + ".warm", fmt=args.fmt,
-                      batch_events=args.batch, **kw)
-        t0 = time.perf_counter()
-        m = run_inference(tr, ts, path, out, fmt=args.fmt,
-                          batch_events=args.batch, **kw)
-        dt = time.perf_counter() - t0
-        tiles = (f", {int(m['n_tiles'])} tiles "
-                 f"= {m['n_tiles'] / dt:.1f} tiles/s"
-                 if "n_tiles" in m else "")
-        print(f"{name:7s} {args.events / dt:7.1f} img/s e2e "
-              f"({dt:.2f} s, {m['n_pixels']} px exported, "
-              f"miou {m['miou']:.4f}{tiles})", flush=True)
+        # readback grouping only exists on the streamed paths
+        groups = args.group if kw.get("streamed") else [1]
+        for K in groups:
+            kw_k = dict(kw, readback_group=K) if kw.get("streamed") else kw
+            label = f"{name} K={K}" if len(groups) > 1 else name
+            out = f"/tmp/ana_e2e_{name}_k{K}.{args.fmt}"
+            # warm the compile out of the measurement: one tiny pass
+            run_inference(tr, ts, path, out + ".warm", fmt=args.fmt,
+                          batch_events=args.batch, **kw_k)
+            t0 = time.perf_counter()
+            m = run_inference(tr, ts, path, out, fmt=args.fmt,
+                              batch_events=args.batch, **kw_k)
+            dt = time.perf_counter() - t0
+            tiles = (f", {int(m['n_tiles'])} tiles "
+                     f"= {m['n_tiles'] / dt:.1f} tiles/s"
+                     if "n_tiles" in m else "")
+            print(f"{label:12s} {args.events / dt:7.1f} img/s e2e "
+                  f"({dt:.2f} s, {m['n_pixels']} px exported, "
+                  f"miou {m['miou']:.4f}{tiles})", flush=True)
 
 
 if __name__ == "__main__":

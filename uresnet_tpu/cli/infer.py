@@ -42,11 +42,14 @@ def main(argv=None):
                         "so EVERY charge point is scored (the single-crop "
                         "default drops points outside the centered window); "
                         "npz coords are then original detector coordinates")
-    p.add_argument("--readback-group", type=int, default=1, metavar="K",
+    p.add_argument("--readback-group", type=int, default=4, metavar="K",
                    help="group device->host score readbacks K batches at a "
                         "time (one sync wave per K dispatches) — identical "
                         "results, fewer round trips on high-latency links "
-                        "(engine/evaluator.py _produce_streamed)")
+                        "(engine/evaluator.py _produce_streamed). Default 4: "
+                        "the measured knee of the K sweep (+45% e2e over "
+                        "K=1 through the relay, flat after — RESULTS.md "
+                        "round 4); results are byte-identical for any K")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu", "axon"),
                    help="force a JAX platform")
     args, extra = p.parse_known_args(argv)
