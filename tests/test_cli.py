@@ -89,6 +89,41 @@ def test_event_display_smoke(tmp_path):
     assert os.path.exists(out) and os.path.getsize(out) > 1000
 
 
+def test_event_display_3d_projections(tmp_path):
+    """3D volumes render as a 3x3 max-charge-projection grid (one row per
+    axis) — the visual-validation surface for BASELINE config 4."""
+    pytest.importorskip("matplotlib")
+    import os
+    import sys
+
+    from uresnet_tpu.data.synthetic import generate_file
+
+    sys.path.insert(0, ".")
+    from tools.event_display import main as display_main
+
+    path = generate_file(str(tmp_path / "d3.usef"), 1, seed=6,
+                         shape=(64, 64, 64), planes=(0,))
+    cfg = str(tmp_path / "cfg3.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            "model: {dims: 3, depth: 2, base_filters: 4,"
+            " compute_dtype: float32}\n"
+            "data: {image_size: 32, batch_size: 1, planes: [0]}\n"
+            "parallel: {data: 1}\n"
+            f"train: {{checkpoint_dir: {tmp_path}/ck3, iterations: 2,\n"
+            f"  summary_iter: 2, checkpoint_iter: 2, val_iter: 0,\n"
+            f"  log_dir: {tmp_path}/lg3}}\n")
+    from uresnet_tpu.cli.train import main as train_main
+
+    train_main([cfg, f"data.input_files={path}", "data.synthetic=false"])
+    out = str(tmp_path / "disp3.png")
+    rc = display_main([cfg, f"data.input_files={path}",
+                       "data.synthetic=false", "--input", path,
+                       "--event", "0", "--out", out])
+    assert not rc
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
 def test_sigterm_checkpoints_and_resumes(tmp_path):
     """Preemption contract (SURVEY.md §5): SIGTERM during fit finishes the
     in-flight step, writes a checkpoint, exits rc=0; --resume continues

@@ -67,6 +67,9 @@ def main(argv=None):
     data = batch["data"][0, ..., 0]
     label = batch["label"][0]
 
+    if data.ndim == 3:
+        return _display_3d(args, cfg, data, label, pred, step, plt, np)
+
     masked = lambda a: np.ma.masked_where(data == 0, a)
     fig, axes = plt.subplots(1, 3, figsize=(15, 5), constrained_layout=True)
     im0 = axes[0].imshow(data, cmap="viridis", origin="lower")
@@ -85,6 +88,43 @@ def main(argv=None):
         ax.set_xticks([]); ax.set_yticks([])
     fig.savefig(args.out, dpi=120)
     print(f"wrote {args.out} (nonzero-pixel acc {acc:.3f})")
+    return 0
+
+
+def _display_3d(args, cfg, data, label, pred, step, plt, np):
+    """3D volumes: a 3x3 grid of max-intensity projections (one row per
+    axis). Charge projects as max; truth/pred project by taking the class
+    at the max-charge voxel along the axis (the visible surface), with
+    charge-free lines masked. Accuracy is computed on the full 3D nonzero
+    set, not the projection."""
+    nz = data > 0
+    acc = (float((pred[nz] == label[nz]).mean()) if nz.any()
+           else float("nan"))
+
+    cmap = plt.get_cmap("tab10", cfg.model.num_class)
+    fig, axes = plt.subplots(3, 3, figsize=(15, 15), constrained_layout=True)
+    for row, axis in enumerate(range(3)):
+        charge = data.max(axis=axis)
+        idx = np.expand_dims(data.argmax(axis=axis), axis)
+        at_max = lambda a: np.squeeze(
+            np.take_along_axis(a, idx, axis=axis), axis)
+        masked = lambda a: np.ma.masked_where(charge == 0, a)
+        im0 = axes[row][0].imshow(masked(charge), cmap="viridis",
+                                  origin="lower")
+        axes[row][0].set_ylabel(f"max-proj axis {axis}")
+        fig.colorbar(im0, ax=axes[row][0], shrink=0.8)
+        axes[row][1].imshow(masked(at_max(label)), cmap=cmap, origin="lower",
+                            vmin=-0.5, vmax=cfg.model.num_class - 0.5)
+        axes[row][2].imshow(masked(at_max(pred)), cmap=cmap, origin="lower",
+                            vmin=-0.5, vmax=cfg.model.num_class - 0.5)
+    axes[0][0].set_title(f"charge (event {args.event})")
+    axes[0][1].set_title("truth (bg/track/shower)")
+    axes[0][2].set_title(f"prediction @ step {step} "
+                         f"(3D nonzero acc {acc:.3f})")
+    for ax in axes.ravel():
+        ax.set_xticks([]); ax.set_yticks([])
+    fig.savefig(args.out, dpi=120)
+    print(f"wrote {args.out} (nonzero-voxel acc {acc:.3f})")
     return 0
 
 
