@@ -184,8 +184,8 @@ def test_tp_requires_canonical_layout():
 
 def test_full_model_tp_3d_loss_matches():
     """3D (NDHWC) under full-model TP: same channel-sharding rule, same
-    loss as the single-device step (the dryrun's TP leg is 2D-only; this
-    pins the 3D claim on the virtual mesh)."""
+    loss as the single-device step (also recorded driver-visibly by the
+    __graft_entry__.dryrun_multichip 3D DPxTP leg since round 5)."""
     from jax.sharding import PartitionSpec as P
 
     from uresnet_tpu.config import (Config, DataConfig, ModelConfig,
