@@ -21,6 +21,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def aggregate_trace(outdir: str, steps: int):
+    """Latest trace in `outdir` -> (device-busy ms/step, per-category
+    Counter, per-op Counter, per-op call Counter). Shared with
+    benchmarks/reprobe.py (the churn3d probe)."""
+    traces = sorted(glob.glob(os.path.join(
+        outdir, "plugins/profile/*/*.trace.json.gz")))
+    with gzip.open(traces[-1]) as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    # HLO-level events live on the "XLA Ops" thread; "XLA Modules" holds the
+    # jit envelope and "Steps" the per-step markers — exclude both or the
+    # rollup double-counts the whole step.
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["args"].get("name") == "XLA Ops"
+               and "TPU" in pids.get(e.get("pid"), "")}
+    tot, cnt = collections.Counter(), collections.Counter()
+    cat = collections.Counter()
+    for e in events:
+        if (e.get("ph") == "X" and "dur" in e
+                and (e.get("pid"), e.get("tid")) in op_tids):
+            name = e.get("name", "?")
+            tot[name] += e["dur"]
+            cnt[name] += 1
+            cat[re.sub(r"[.\d]+$", "", name)] += e["dur"]
+    step_ms = sum(tot.values()) / 1e3 / steps
+    return step_ms, cat, tot, cnt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=512)
@@ -85,31 +117,7 @@ def main():
     float(m["loss"])
     jax.profiler.stop_trace()
 
-    traces = sorted(glob.glob(os.path.join(
-        args.outdir, "plugins/profile/*/*.trace.json.gz")))
-    with gzip.open(traces[-1]) as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    pids = {e["pid"]: e["args"].get("name", "")
-            for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    # HLO-level events live on the "XLA Ops" thread; "XLA Modules" holds the
-    # jit envelope and "Steps" the per-step markers — exclude both or the
-    # rollup double-counts the whole step.
-    op_tids = {(e["pid"], e["tid"]) for e in events
-               if e.get("ph") == "M" and e.get("name") == "thread_name"
-               and e["args"].get("name") == "XLA Ops"
-               and "TPU" in pids.get(e.get("pid"), "")}
-    tot, cnt = collections.Counter(), collections.Counter()
-    cat = collections.Counter()
-    for e in events:
-        if (e.get("ph") == "X" and "dur" in e
-                and (e.get("pid"), e.get("tid")) in op_tids):
-            name = e.get("name", "?")
-            tot[name] += e["dur"]
-            cnt[name] += 1
-            cat[re.sub(r"[.\d]+$", "", name)] += e["dur"]
-    step_ms = sum(tot.values()) / 1e3 / args.steps
+    step_ms, cat, tot, cnt = aggregate_trace(args.outdir, args.steps)
     print(f"device-busy: {step_ms:.1f} ms/step (XLA Ops total)")
     print("-- by op category (name prefix):")
     for name, dur in cat.most_common(15):

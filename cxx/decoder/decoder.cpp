@@ -112,6 +112,12 @@ bool read_header(const std::string& path, FileInfo* info) {
   info->ndims = ndims;
   info->offsets.resize(n);
   if (n && !r.read(info->offsets.data(), 8 * n)) return false;
+  // Every event offset must land inside the payload region (mirrors
+  // data/events.py read_header): a corrupt index pointing into the
+  // header/index or past EOF would otherwise parse garbage as an event.
+  const uint64_t hdr_end = 20 + 8 * n;
+  for (uint64_t off : info->offsets)
+    if (off < hdr_end || off >= r.size) return false;
   return true;
 }
 

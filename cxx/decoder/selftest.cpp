@@ -97,6 +97,73 @@ static void write_test_file(const std::string& path, int n) {
   fclose(f);
 }
 
+// -- USEF corruption fuzz helpers (SURVEY.md §4 data-plane edge cases) ------
+
+static std::vector<uint8_t> slurp(const std::string& path) {
+  FILE* f = fopen(path.c_str(), "rb");
+  assert(f);
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> b((size_t)n);
+  assert(fread(b.data(), 1, b.size(), f) == b.size());
+  fclose(f);
+  return b;
+}
+
+static void dump(const std::string& path, const std::vector<uint8_t>& b,
+                 size_t len) {
+  FILE* f = fopen(path.c_str(), "wb");
+  assert(f);
+  fwrite(b.data(), 1, len, f);
+  fclose(f);
+}
+
+static void patch32(std::vector<uint8_t>& b, size_t off, uint32_t v) {
+  assert(off + 4 <= b.size());
+  std::memcpy(&b[off], &v, 4);
+}
+
+static void patch64(std::vector<uint8_t>& b, size_t off, uint64_t v) {
+  assert(off + 8 <= b.size());
+  std::memcpy(&b[off], &v, 8);
+}
+
+// A corrupted file must be rejected CLEANLY: urd_open returns nullptr, or
+// the first urd_next returns -1 with an error string — never a crash or a
+// hang. batch_size covers every event so the first batch reads the whole
+// file.
+static bool fuzz_rejected(const char* path, int sparse) {
+  urd_config cfg{};
+  // image_size == the plane extent: the crop window covers every point, so
+  // semantic corruptions (e.g. a bad label) cannot hide outside the crop
+  cfg.image_size = 64;
+  cfg.ndims = 2;
+  cfg.batch_size = 2;
+  cfg.num_class = 3;
+  cfg.n_planes = 1;
+  cfg.planes[0] = 0;
+  cfg.normalize_scale = 0.01f;
+  cfg.normalize_clip = 10.0f;
+  cfg.weight_mode = 1;  // class_balance: validates every label
+  cfg.random_access = 0;
+  cfg.num_batch_storage = 2;
+  cfg.sparse = sparse;
+  cfg.max_points = 64;
+  const char* paths[1] = {path};
+  urd_handle* h = urd_open(paths, 1, &cfg);
+  if (!h) return true;
+  urd_start(h, 2);
+  urd_batch b{};
+  int slot = urd_next(h, &b);
+  bool rej = slot < 0;
+  if (rej) assert(urd_last_error()[0] != '\0');
+  if (!rej) urd_release(h, slot);
+  urd_stop(h);
+  urd_close(h);
+  return rej;
+}
+
 static std::vector<std::vector<float>> drain(const char* path, int threads,
                                              int batches, int random_access) {
   urd_config cfg{};
@@ -253,6 +320,89 @@ int main() {
     for (int k = 0; k < 6; ++k)
       assert(std::memcmp(got[k].data(), ref[k].data(),
                          n * sizeof(float)) == 0);
+  }
+
+  // USEF corruption fuzz sweep (SURVEY.md §4 data-plane edge cases, §5
+  // failure detection): >= 50 deterministic corruptions of a valid file;
+  // EVERY one must be rejected cleanly (nullptr open or -1 next), never a
+  // crash — run under `make tsan` / `make asan` this doubles as the
+  // sanitizer gate on the reject paths. Mirrors tests/test_usef_fuzz.py
+  // (the numpy-reader sweep).
+  {
+    std::string base_path = "/tmp/urd_fuzz_base.usef";
+    write_test_file(base_path, 2);  // 2 events -> one batch reads the file
+    auto base = slurp(base_path);
+    std::string fz = "/tmp/urd_fuzz_case.usef";
+    int n_cases = 0, n_rejected = 0;
+    auto expect_reject = [&](const std::vector<uint8_t>& buf, size_t len,
+                             int sparse, const char* what) {
+      dump(fz, buf, len);
+      ++n_cases;
+      if (fuzz_rejected(fz.c_str(), sparse)) {
+        ++n_rejected;
+      } else {
+        fprintf(stderr, "fuzz case %d (%s) NOT rejected\n", n_cases, what);
+      }
+    };
+    // 30 truncation points spread over the file (every strict prefix cuts
+    // the header, the index, or the final event's payload)
+    for (int i = 0; i < 30; ++i)
+      expect_reject(base, base.size() * (size_t)i / 30, 0, "truncation");
+    {auto b = base; b[0] = 'X'; expect_reject(b, b.size(), 0, "magic");}
+    {auto b = base; patch32(b, 0, 0); expect_reject(b, b.size(), 0, "magic0");}
+    {auto b = base; patch32(b, 4, 0); expect_reject(b, b.size(), 0, "ver0");}
+    {auto b = base; patch32(b, 4, 3); expect_reject(b, b.size(), 0, "ver3");}
+    {auto b = base; patch32(b, 8, 0); expect_reject(b, b.size(), 0, "nd0");}
+    {auto b = base; patch32(b, 8, 9); expect_reject(b, b.size(), 0, "nd9");}
+    // ndims 3 is in-bounds for the format but mismatches cfg.ndims=2
+    {auto b = base; patch32(b, 8, 3); expect_reject(b, b.size(), 0, "ndmis");}
+    {auto b = base; patch64(b, 12, ~0ull);
+     expect_reject(b, b.size(), 0, "nev-huge");}
+    // n=3: the over-long index overlaps event payload; the garbage third
+    // offset lands outside [hdr_end, size) -> offset bound
+    {auto b = base; patch64(b, 12, 3); expect_reject(b, b.size(), 0, "nev+1");}
+    // index offset corruptions (offsets live at bytes 20..36)
+    {auto b = base; patch64(b, 20, 0); expect_reject(b, b.size(), 0, "off0");}
+    {auto b = base; patch64(b, 20, 5); expect_reject(b, b.size(), 0, "off5");}
+    {auto b = base; patch64(b, 20, b.size());
+     expect_reject(b, b.size(), 0, "off-eof");}
+    {auto b = base; patch64(b, 20, b.size() - 1);
+     expect_reject(b, b.size(), 0, "off-eof-1");}
+    {auto b = base; patch64(b, 20, 1ull << 63);
+     expect_reject(b, b.size(), 0, "off-2^63");}
+    // event-record corruptions: event 0 starts at byte 36
+    // (20-byte header + 2 * 8-byte offsets); its layout is
+    // num_planes(4) plane_id(4) shape(8) npoints(4) coords(10*8)
+    // values(10*4) labels(10)
+    const size_t ev0 = 36;
+    {auto b = base; patch32(b, ev0, 0xFFFFFFu);
+     expect_reject(b, b.size(), 0, "planes-huge");}
+    {auto b = base; patch32(b, ev0 + 16, 0x7FFFFFFFu);
+     expect_reject(b, b.size(), 0, "npts-huge");}
+    // npoints+1 shifts the stream: the trailing coord pair is read from
+    // float charge bytes (values ~10-60 -> int32 ~0x41x00000, far outside
+    // the 64-pixel shape) -> the sparse coord validation trips
+    {auto b = base; patch32(b, ev0 + 16, 11);
+     expect_reject(b, b.size(), 1, "npts+1");}
+    // semantic: a label byte >= num_class (labels start after the 20-byte
+    // plane header + 80 coord bytes + 40 value bytes)
+    {auto b = base; b[ev0 + 20 + 80 + 40] = 250;
+     expect_reject(b, b.size(), 0, "label>=C");}
+    // semantic, sparse wire: coord outside the declared shape
+    {auto b = base; patch32(b, ev0 + 20, (uint32_t)(int32_t)-1);
+     expect_reject(b, b.size(), 1, "coord<0");}
+    {auto b = base; patch32(b, ev0 + 20, 70);
+     expect_reject(b, b.size(), 1, "coord>=shape");}
+    // semantic, sparse wire: plane extent >= 32768 exceeds int16
+    {auto b = base; patch32(b, ev0 + 8, 40000); patch32(b, ev0 + 12, 40000);
+     expect_reject(b, b.size(), 1, "extent>=2^15");}
+    // v2 framing over a v1 payload: the LAST event's has_weights byte
+    // lands past EOF
+    {auto b = base; patch32(b, 4, 2); expect_reject(b, b.size(), 0, "v2-v1");}
+    assert(n_cases >= 50);
+    assert(n_rejected == n_cases);
+    printf("fuzz sweep: %d corrupted files, all rejected cleanly\n",
+           n_cases);
   }
 
   printf("selftest OK (%zu batches, deterministic across thread counts; "

@@ -111,6 +111,10 @@ def read_header(path: str) -> Tuple[int, int, np.ndarray]:
         version, ndims, n = struct.unpack("<IIQ", f.read(16))
         if version not in _READABLE:
             raise ValueError(f"{path}: unsupported USEF version {version}")
+        if not 1 <= ndims <= 8:
+            # corrupt dimensionality (mirrors the C++ reader's bound;
+            # ndims=0 would otherwise silently mis-parse every plane)
+            raise ValueError(f"{path}: corrupt USEF ndims {ndims}")
         # Size-bound the count BEFORE the read (mirrors the C++ reader's
         # guard): a corrupt header with n ~ 2^60 would otherwise overflow
         # f.read(8*n) instead of hitting the truncated-index error below.
@@ -126,6 +130,15 @@ def read_header(path: str) -> Tuple[int, int, np.ndarray]:
             raise ValueError(
                 f"{path}: truncated USEF index ({len(offsets)} of {n} "
                 f"event offsets)")
+        # Every event offset must land inside the payload region (mirrors
+        # the C++ reader): a corrupt index pointing into the header/index
+        # or past EOF would otherwise parse garbage bytes as an event.
+        hdr_end = 20 + 8 * n
+        if n and (int(offsets.min()) < hdr_end
+                  or int(offsets.max()) >= size):
+            raise ValueError(
+                f"{path}: corrupt USEF index (event offset outside the "
+                f"payload region [{hdr_end}, {size}))")
     return version, ndims, offsets
 
 
@@ -135,23 +148,51 @@ def read_events(path: str, indices: Sequence[int] | None = None) -> List[SparseE
         indices = range(len(offsets))
     events = []
     with open(path, "rb") as f:
+        size = os.fstat(f.fileno()).st_size
+
+        def take(nbytes: int, what: str) -> bytes:
+            # every payload read is length-validated: np.frombuffer accepts
+            # a SHORT read without error for uint8 (labels) and for any
+            # multiple of the item size (values/weights), so a truncated
+            # event would otherwise come back as silently shorter arrays
+            # instead of a loud rejection (mirrors the C++ reader's
+            # read()==n contract)
+            b = f.read(nbytes)
+            if len(b) != nbytes:
+                raise ValueError(
+                    f"{path}: truncated USEF event ({what}: {len(b)} of "
+                    f"{nbytes} bytes)")
+            return b
+
         for i in indices:
             f.seek(int(offsets[i]))
-            (num_planes,) = struct.unpack("<I", f.read(4))
+            (num_planes,) = struct.unpack("<I", take(4, "num_planes"))
+            if num_planes > size // 12:
+                # size-bound corrupt counts (C++ reader parity): a plane
+                # record occupies >= 12 bytes
+                raise ValueError(
+                    f"{path}: corrupt USEF event (num_planes {num_planes} "
+                    f"exceeds the file size bound)")
             planes = []
             for _ in range(num_planes):
-                (plane_id,) = struct.unpack("<I", f.read(4))
-                shape = struct.unpack(f"<{ndims}I", f.read(4 * ndims))
-                (n,) = struct.unpack("<I", f.read(4))
-                coords = np.frombuffer(f.read(4 * n * ndims), np.int32).reshape(n, ndims)
-                values = np.frombuffer(f.read(4 * n), np.float32)
-                labels = np.frombuffer(f.read(n), np.uint8)
+                (plane_id,) = struct.unpack("<I", take(4, "plane_id"))
+                shape = struct.unpack(f"<{ndims}I", take(4 * ndims, "shape"))
+                (n,) = struct.unpack("<I", take(4, "npoints"))
+                if n > size // (4 * ndims + 5):
+                    # a point occupies >= 4*ndims + 5 bytes (C++ parity)
+                    raise ValueError(
+                        f"{path}: corrupt USEF plane (npoints {n} exceeds "
+                        f"the file size bound)")
+                coords = np.frombuffer(take(4 * n * ndims, "coords"),
+                                       np.int32).reshape(n, ndims)
+                values = np.frombuffer(take(4 * n, "values"), np.float32)
+                labels = np.frombuffer(take(n, "labels"), np.uint8)
                 weights = None
                 if version >= 2:
-                    (has_w,) = struct.unpack("<B", f.read(1))
+                    (has_w,) = struct.unpack("<B", take(1, "has_weights"))
                     if has_w:
                         weights = np.frombuffer(
-                            f.read(4 * n), np.float32).copy()
+                            take(4 * n, "weights"), np.float32).copy()
                 planes.append(SparsePlane(plane_id, shape, coords.copy(),
                                           values.copy(), labels.copy(),
                                           weights))

@@ -191,6 +191,15 @@ class BatchLoader:
         self._index = []
         pos = 0
         for fi, path in enumerate(self._files):
+            f_ndims = ev.read_header(path)[1]
+            if f_ndims != ndims:
+                # C++ decoder parity (decoder.cpp urd_open "ndims
+                # mismatch"): a 3D file fed to a 2D model (or a corrupt
+                # dimensionality) must fail loudly here, not mis-parse
+                # event payloads downstream
+                raise ValueError(
+                    f"{path}: USEF ndims {f_ndims} != requested {ndims} "
+                    f"(wrong model.dims for this file, or corrupt header)")
             n = ev.num_events(path)
             for ei in range(n):
                 if pos % shard[1] == shard[0]:
