@@ -81,17 +81,36 @@ def latest_checkpoint(directory: str) -> Optional[str]:
     return os.path.join(directory, cands[-1]) if cands else None
 
 
-def load_checkpoint(path: str, template: Any) -> Any:
-    """Restore a pytree with the same structure/dtypes/shapes as `template`."""
+def load_checkpoint(path: str, template: Any, *, partial: bool = False) -> Any:
+    """Restore a pytree with the same structure/dtypes/shapes as `template`.
+
+    ``partial=True`` fills leaves absent from the file with the template's
+    value instead of raising — the contract of params-only RELEASE
+    checkpoints (tools/make_release_ckpt.py strips optimizer moments and
+    the PRNG key): params + BN stats load, the optimizer starts fresh.
+    Only the `train.load_params_only` restore path uses it; a run's own
+    resume checkpoints always load fully."""
     with np.load(path) as z:
         stored = {k: z[k] for k in z.files}
+    # release artifacts store bf16 kernels as uint16 bit patterns (npz has
+    # no bfloat16); the manifest lists which keys to re-view
+    bf16_keys = set()
+    if "__kernels_bf16__" in stored:
+        bf16_keys = {str(k) for k in stored.pop("__kernels_bf16__")}
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for path_, leaf in leaves_with_paths:
         key = _path_str(path_)
         if key not in stored:
+            if partial:
+                new_leaves.append(np.asarray(leaf))
+                continue
             raise KeyError(f"checkpoint missing leaf {key!r}")
         arr = stored[key]
+        if key in bf16_keys:
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
         tleaf = np.asarray(leaf)
         if arr.shape != tleaf.shape:
             raise ValueError(

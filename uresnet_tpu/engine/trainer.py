@@ -540,7 +540,11 @@ class Trainer:
         template = {"train_state":
                     jax.device_get(self._host_state(self.cfg.train.seed)),
                     "meta": {"step": np.int64(0), "data_cursor": np.int64(0)}}
-        tree = ckpt.load_checkpoint(path, template)
+        # params-only RELEASE artifacts (tools/make_release_ckpt.py) carry
+        # no optimizer/PRNG leaves; the fine-tune restore path fills them
+        # from the fresh template (they are replaced below anyway)
+        tree = ckpt.load_checkpoint(path, template,
+                                    partial=self._params_only_path(path))
         loaded = TrainState(*tree["train_state"])
         if self._params_only_path(path):
             # fine-tune restore (train.load_params_only): pretrained params
