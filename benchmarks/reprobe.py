@@ -130,7 +130,8 @@ def probe_mosaic64() -> bool:
                                        block_h=8)
         float(out.reshape(-1)[0])
     except Exception as e:
-        tail = str(e).splitlines()[-1][:160] if str(e) else type(e).__name__
+        lines = [l for l in str(e).splitlines() if l.strip()]
+        tail = lines[-1][:160] if lines else type(e).__name__
         print(f"  still rejected: {tail}", flush=True)
         return _verdict(False, "64-lane DMA still blocked — the sub-128-lane "
                                "K-slicing ceiling stands (RESULTS.md r2)", "")
